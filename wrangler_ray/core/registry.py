@@ -1,0 +1,80 @@
+"""Directive registry and base class.
+
+The reference registers 86 directives by reflection over
+``io.cdap.directives`` (wrangler-core/.../registry/SystemDirectiveRegistry.java:51-96)
+and each implements ``define()/initialize(args)/execute(rows, ctx)``
+(wrangler-api/.../Directive.java:54-129). Here a directive is a Python class
+registered with the ``@directive("name")`` decorator; it binds its arguments
+once on the driver (``__init__``) and transforms whole Arrow tables
+(``apply(table, ctx) -> (ok, err)``) inside ``map_batches`` workers.
+Instances must be (cloud)picklable — compiled regexes / small lookup dicts
+are fine; heavy state belongs in actor-pool stages (see stages/).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import pyarrow as pa
+
+from wrangler_ray.core.errors import empty_error_table
+
+_REGISTRY: dict[str, type] = {}
+
+
+class DirectiveContext:
+    """Per-batch execution context.
+
+    The reference's ``TransientStore`` has LOCAL (reset per record) and GLOBAL
+    (per task/run) scopes (wrangler-api/.../TransientStore.java:27-64). In the
+    batch model, LOCAL-scope variables become plain per-row computed arrays
+    within one batch-fn invocation; GLOBAL variables become per-batch partials
+    in ``variables`` that a final small ``ds.aggregate`` (or the caller)
+    merges across batches.
+    """
+
+    def __init__(self, environment: Optional[dict] = None):
+        self.variables: dict = {}
+        # Injected deterministic sources (job-start time, RNG seed) so
+        # current-datetime / generate-uuid replay identically in tests.
+        self.environment: dict = environment or {}
+
+
+class Directive:
+    """Base class. Subclasses set ``name``/``usage`` and implement ``apply``."""
+
+    name: str = ""
+    usage: str = ""
+
+    def apply(self, table: pa.Table, ctx: DirectiveContext) -> tuple[pa.Table, pa.Table]:
+        raise NotImplementedError
+
+    # Convenience for the common no-error case.
+    @staticmethod
+    def ok(table: pa.Table) -> tuple[pa.Table, pa.Table]:
+        return table, empty_error_table()
+
+
+def directive(name: str, *aliases: str) -> Callable[[type], type]:
+    def wrap(cls: type) -> type:
+        cls.name = name
+        _REGISTRY[name] = cls
+        for a in aliases:
+            _REGISTRY[a] = cls
+        return cls
+
+    return wrap
+
+
+def get_directive_class(name: str) -> type:
+    # Directive names are case-insensitive identifiers in the grammar.
+    cls = _REGISTRY.get(name) or _REGISTRY.get(name.lower())
+    if cls is None:
+        from wrangler_ray.core.errors import RecipeParseError
+
+        raise RecipeParseError(f"unknown directive '{name}'")
+    return cls
+
+
+def registered_directives() -> dict[str, type]:
+    return dict(_REGISTRY)

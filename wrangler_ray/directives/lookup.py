@@ -1,0 +1,143 @@
+"""Lookups / joins (reference: wrangler-core
+src/main/java/io/cdap/directives/lookup/*.java, external/InvokeHttp.java).
+
+Scale pattern: the small side is loaded ONCE per worker (directive instances
+are cloudpickled with their dict — equivalent to `ray.put` broadcast since the
+serialized chain ships once per task, and the dict is shared by every batch
+the task processes). Big dimensions should use the partitioned hash join in
+``wrangler_ray.ops.joins`` instead.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from wrangler_ray.core.errors import DirectiveError
+from wrangler_ray.core.naming import resolve_column
+from wrangler_ray.core.registry import Directive, directive
+
+# A tiny stand-in catalog: the reference ships ICD-9/10 code catalogs as
+# resource files (reference directives/lookup/CatalogLookup.java:78-80 +
+# executor/ICDCatalog.java; the actual code files are large blobs not present
+# in the reference checkout either — .MISSING_LARGE_BLOBS). Users can supply
+# their own catalog via `register_catalog`.
+_CATALOGS: dict[str, dict[str, str]] = {
+    "icd-9": {
+        "0010": "Cholera due to vibrio cholerae",
+        "0011": "Cholera due to vibrio cholerae el tor",
+        "0019": "Cholera, unspecified",
+        "0020": "Typhoid fever",
+        "0380": "Streptococcal septicemia",
+        "4019": "Unspecified essential hypertension",
+        "25000": "Diabetes mellitus without mention of complication",
+    },
+    "icd-10-2016": {
+        "A000": "Cholera due to Vibrio cholerae 01, biovar cholerae",
+        "A001": "Cholera due to Vibrio cholerae 01, biovar eltor",
+        "A009": "Cholera, unspecified",
+        "A0100": "Typhoid fever, unspecified",
+        "E119": "Type 2 diabetes mellitus without complications",
+        "I10": "Essential (primary) hypertension",
+    },
+}
+_CATALOGS["icd-10-2017"] = dict(_CATALOGS["icd-10-2016"])
+
+
+def register_catalog(name: str, mapping: dict[str, str]) -> None:
+    _CATALOGS[name] = dict(mapping)
+
+
+@directive("catalog-lookup")
+class CatalogLookup(Directive):
+    """catalog-lookup <catalog> :col — adds :col_<catalog>_description
+    (reference directives/lookup/CatalogLookup.java:78-80). Broadcast-dict
+    lookup via vectorized index_in + take — a broadcast hash join."""
+
+    usage = "catalog-lookup <catalog> :col"
+
+    def __init__(self, call):
+        self.catalog = call.text(0)
+        self.column = call.col(1)
+        cat = _CATALOGS.get(self.catalog)
+        if cat is None:
+            raise DirectiveError(f"catalog-lookup: unknown catalog '{self.catalog}'")
+        self.keys = pa.array(list(cat.keys()), pa.string())
+        self.values = pa.array(list(cat.values()), pa.string())
+
+    def apply(self, table, ctx):
+        col = resolve_column(table, self.column)
+        if col is None:
+            return self.ok(table)
+        s = pc.cast(table.column(col), pa.string())
+        idx = pc.index_in(s, value_set=self.keys)
+        desc = pc.take(self.values, idx)
+        name = f"{col}_{self.catalog.replace('-', '_')}_description"
+        return self.ok(table.append_column(name, desc))
+
+
+@directive("table-lookup")
+class TableLookup(Directive):
+    """table-lookup :col 'dataset' — point lookup into a registered lookup
+    table by string key; adds col_<field> for every field (reference
+    directives/lookup/TableLookup.java:79-126). Lookup tables are registered
+    on the driver with `register_lookup_table(name, pyarrow_table, key_col)`
+    and broadcast with the compiled chain."""
+
+    usage = "table-lookup :col 'table-name'"
+
+    def __init__(self, call):
+        self.column = call.col(0)
+        self.table_name = call.text(1)
+        entry = _LOOKUP_TABLES.get(self.table_name)
+        if entry is None:
+            raise DirectiveError(
+                f"table-lookup: lookup table '{self.table_name}' not registered "
+                f"(use wrangler_ray.directives.lookup.register_lookup_table)"
+            )
+        self.lookup_table, self.key_col = entry
+
+    def apply(self, table, ctx):
+        col = resolve_column(table, self.column)
+        if col is None:
+            return self.ok(table)
+        s = pc.cast(table.column(col), pa.string())
+        keys = pc.cast(self.lookup_table.column(self.key_col), pa.string())
+        idx = pc.index_in(s, value_set=keys)
+        for field in self.lookup_table.column_names:
+            if field == self.key_col:
+                continue
+            vals = pc.take(self.lookup_table.column(field).combine_chunks(), idx)
+            table = table.append_column(f"{col}_{field}", vals)
+        return self.ok(table)
+
+
+_LOOKUP_TABLES: dict[str, tuple[pa.Table, str]] = {}
+
+
+def register_lookup_table(name: str, table: pa.Table, key_col: str) -> None:
+    """Register a small (broadcastable) lookup table for `table-lookup`."""
+    _LOOKUP_TABLES[name] = (table, key_col)
+
+
+@directive("invoke-http")
+class InvokeHttp(Directive):
+    """invoke-http <url> :col[,:col]* [header,...] — POST selected columns as
+    JSON per record, merge response fields (reference
+    directives/external/InvokeHttp.java:126-147). No network in this
+    environment: the directive validates args and raises on execute. The
+    production shape is an actor-pool stage with a persistent HTTP session
+    (stages/http.py) — batch fan-out, concurrency-capped."""
+
+    usage = "invoke-http <url> :col [,:col]* [header[,header]*]"
+
+    def __init__(self, call):
+        self.url = call.text(0)
+        self.columns = call.cols(1)
+        self.headers = call.text(2, default=None)
+
+    def apply(self, table, ctx):
+        raise NotImplementedError(
+            "invoke-http: no network access in this environment; use the "
+            "actor-pool HTTP stage (wrangler_ray/stages) in production"
+        )

@@ -1,0 +1,169 @@
+"""Recipe → fused Ray Data pipeline.
+
+Lifecycle (mirrors reference wrangler-transform/.../Wrangler.java:335-489 and
+the executor at wrangler-core/.../executor/RecipePipelineExecutor.java, but
+vectorized):
+
+    recipe text ──parse (driver)──► [DirectiveCall]
+                ──compile──► [Directive instances]  (args bound, regexes compiled)
+    ds.map_batches(DirectiveChain(directives), batch_format="pyarrow")
+
+The whole chain runs fused inside ONE batch function per block — exactly one
+Ray task per block regardless of recipe length — with errors threaded as a
+side table (see core/errors.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import pyarrow as pa
+
+from wrangler_ray.core.errors import (
+    ERROR_COLUMNS,
+    PipelineAbort,
+    empty_error_table,
+)
+from wrangler_ray.core.registry import Directive, DirectiveContext, get_directive_class
+from wrangler_ray.core.schema import concat_reconciled, unified_schema, unify_to_schema
+from wrangler_ray.parser.recipe import parse_recipe
+
+# Importing the directives package registers every directive.
+import wrangler_ray.directives  # noqa: F401  (registration side effect)
+
+
+def compile_recipe(recipe: Union[str, list[str]], environment: Optional[dict] = None) -> list[Directive]:
+    """Parse + bind arguments: recipe text → list of ready Directive instances."""
+    calls = parse_recipe(recipe)
+    directives = []
+    for call in calls:
+        cls = get_directive_class(call.name)
+        directives.append(cls(call))
+    return directives
+
+
+class DirectiveChain:
+    """The fused batch function: Arrow table in → tagged Arrow table out.
+
+    on_error:
+      - "skip": error rows silently dropped (reference on-error=skip-error,
+        Wrangler.java:444-464)
+      - "fail": first error row aborts the job (on-error=fail-pipeline)
+      - "tag":  error rows appended with ``_wr_code/_wr_msg/_wr_directive/_wr_row``
+        columns filled and data columns nulled (send-to-error-port)
+    """
+
+    def __init__(
+        self,
+        directives: list[Directive],
+        on_error: str = "skip",
+        environment: Optional[dict] = None,
+    ):
+        assert on_error in ("skip", "fail", "tag")
+        self.directives = directives
+        self.on_error = on_error
+        self.environment = environment or {}
+
+    def transform(self, batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+        """Run the chain; return (ok, errors)."""
+        ctx = DirectiveContext(self.environment)
+        ok = batch
+        errs: list[pa.Table] = []
+        for d in self.directives:
+            if ok.num_rows == 0:
+                break
+            ok, err = d.apply(ok, ctx)
+            if err is not None and err.num_rows:
+                errs.append(err)
+        err_table = concat_reconciled(errs) if errs else empty_error_table()
+        return ok, err_table
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok, err = self.transform(batch)
+        if err.num_rows and self.on_error == "fail":
+            first = err.slice(0, 1).to_pylist()[0]
+            raise PipelineAbort(
+                f"row failed in directive '{first['_wr_directive']}': {first['_wr_msg']}"
+            )
+        if self.on_error != "tag":
+            return ok
+        # tag: unify ok-schema + error columns, null-backfill both sides.
+        tag_schema = unified_schema([ok.schema, err.schema])
+        parts = [unify_to_schema(ok, tag_schema)]
+        if err.num_rows:
+            parts.append(unify_to_schema(err, tag_schema))
+        return pa.concat_tables(parts)
+
+
+class RecipeResult:
+    """Handle on a recipe applied with on_error="tag".
+
+    ``dataset`` is the tagged stream; ``ok()`` / ``errors()`` filter it.
+    NOTE: Ray Datasets are lazy — consuming both ok() and errors() executes
+    the pipeline twice; for one-pass splitting write the tagged dataset once
+    (write_parquet) and split the files, or use on_error="skip".
+    """
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def ok(self):
+        import pyarrow.compute as pc
+
+        def drop_err(t: pa.Table) -> pa.Table:
+            if "_wr_code" not in t.column_names:
+                return t
+            mask = pc.is_null(t.column("_wr_code"))
+            return t.filter(mask).drop_columns(
+                [c for c in ERROR_COLUMNS if c in t.column_names]
+            )
+
+        return self.dataset.map_batches(drop_err, batch_format="pyarrow")
+
+    def errors(self):
+        import pyarrow.compute as pc
+
+        def keep_err(t: pa.Table) -> pa.Table:
+            if "_wr_code" not in t.column_names:
+                return t.schema.empty_table().select([])
+            mask = pc.is_valid(t.column("_wr_code"))
+            return t.filter(mask).select([c for c in ERROR_COLUMNS if c in t.column_names])
+
+        return self.dataset.map_batches(keep_err, batch_format="pyarrow")
+
+
+def apply_recipe(
+    ds,
+    recipe: Union[str, list[str]],
+    on_error: str = "skip",
+    environment: Optional[dict] = None,
+    batch_size: Optional[int] = None,
+):
+    """Apply a recipe to a ``ray.data.Dataset`` (the ``TestingRig.execute``
+    equivalent — reference wrangler-core/src/test/java/.../TestingRig.java:79-93).
+
+    Returns a Dataset (on_error=skip/fail) or a RecipeResult (on_error=tag).
+    """
+    directives = compile_recipe(recipe, environment)
+    chain = DirectiveChain(directives, on_error=on_error, environment=environment)
+    kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    out = ds.map_batches(chain, **kwargs)
+    if on_error == "tag":
+        return RecipeResult(out)
+    return out
+
+
+def apply_recipe_table(
+    table: pa.Table,
+    recipe: Union[str, list[str]],
+    environment: Optional[dict] = None,
+) -> tuple[pa.Table, pa.Table]:
+    """Driver-side / test-rig execution over one in-memory Arrow table.
+
+    Returns (ok, errors) exactly like the fused chain does per batch.
+    """
+    directives = compile_recipe(recipe, environment)
+    chain = DirectiveChain(directives, on_error="tag", environment=environment)
+    return chain.transform(table)
