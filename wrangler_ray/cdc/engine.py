@@ -1,0 +1,417 @@
+"""CDC / incremental-ingest engine: binlog tail → partitioned Parquet lake
+table via key-partitioned copy-on-write upsert (the north-rule core; all new
+design — the reference has no CDC machinery, see SURVEY.md §7).
+
+Pipeline shape (pure Ray Data; no raw tasks):
+
+    read_parquet(segments, schema=unified)            # additive schema unify
+      .filter(lsn > watermark)                        # resume point
+      [ .map_batches(DirectiveChain) ]                # in-flight wrangling
+      .map_batches(combine_lww)                       # per-batch LWW combiner
+                                                      #   (pre-shuffle reduce —
+                                                      #    collapses hot-key
+                                                      #    update storms)
+      .groupby("_part").map_groups(merge_partition)   # the ONE shuffle
+      → lineage rows (tiny)                           # collected on driver
+    manifest commit: staged files + lineage → atomic rename
+
+Exactly-once: each apply is a transaction keyed by (parent manifest version,
+target watermark). Partition merges write to ``staging/<txn>/``; a partition
+whose staged file already exists is skipped (resume); the commit is a single
+atomic ``os.replace`` of the manifest pointer. Replaying any suffix of the
+log is idempotent because the merge is last-writer-wins on ``_lsn``.
+
+Scale notes (100 TB design point):
+- ``num_partitions`` should be ≥ 2× cluster cores; one partition = one merge
+  task = one output file → bounded memory per task regardless of total size.
+- The combiner bounds shuffle volume to ≤ one row per (key, batch) — an
+  update storm on a hot conversation collapses before it moves.
+- Only changed partitions are rewritten (copy-on-write); untouched partition
+  files carry forward in the manifest.
+- The lineage dataset is P rows — the only thing the driver materializes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from typing import Optional, Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from wrangler_ray.core.schema import concat_reconciled, unified_schema, unify_to_schema
+
+KEY_COLS = ["conv_id", "turn_idx"]
+LSN_COL = "_lsn"
+PART_COL = "_part"
+
+
+def _hash_partition(conv_ids: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Deterministic hash partitioning of conv_id (stable across processes —
+    pandas' siphash with its fixed default key)."""
+    h = pd.util.hash_array(conv_ids.astype(object), categorize=True)
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
+def _file_digest(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _lww_reduce(table: pa.Table) -> pa.Table:
+    """Keep the max-_lsn row per (conv_id, turn_idx). Vectorized:
+    sort by (key, _lsn) then take the last row of each key run."""
+    if table.num_rows <= 1:
+        return table
+    idx = pc.sort_indices(
+        table,
+        sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending"), (LSN_COL, "ascending")],
+    )
+    t = table.take(idx)
+    conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+    turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
+    # last-of-run mask: row i kept iff key[i] != key[i+1]
+    same_as_next = (conv[:-1] == conv[1:]) & (turn[:-1] == turn[1:])
+    keep = np.ones(len(conv), dtype=bool)
+    keep[:-1] = ~same_as_next
+    return t.filter(pa.array(keep))
+
+
+class CombineLww:
+    """Pre-shuffle combiner: within-batch LWW dedup + partition id assignment.
+    Collapses repeated updates to the same turn before they cross the wire —
+    this is the skew/hot-key mitigation (an update storm on one conversation
+    reduces to ≤1 row per key per batch)."""
+
+    def __init__(self, num_partitions: int):
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        batch = _lww_reduce(batch)
+        conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+        parts = _hash_partition(conv, self.num_partitions)
+        return batch.append_column(PART_COL, pa.array(parts, pa.int32()))
+
+
+class MergePartition:
+    """Per-partition copy-on-write merge (runs inside map_groups after the
+    hash shuffle). Loads the partition's current file, concatenates the
+    change rows (schemas reconciled — additive evolution null-backfills),
+    applies LWW on _lsn, drops deletes, sorts by (conv_id, turn_idx) for the
+    stable-turn-ordering invariant, writes a staged file and returns ONE
+    lineage row."""
+
+    def __init__(
+        self,
+        table_dir: str,
+        txn_id: str,
+        current_files: dict[int, str],
+        target_schema: Optional[dict] = None,
+    ):
+        self.table_dir = table_dir
+        self.txn_id = txn_id
+        self.current_files = current_files
+        self.staging_dir = os.path.join(table_dir, "staging", txn_id)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = int(group.column(PART_COL)[0].as_py())
+        staged = os.path.join(self.staging_dir, f"p{part:05d}.parquet")
+        changes = group.drop_columns([PART_COL])
+        if os.path.exists(staged):
+            # resume: this partition already merged in a previous (crashed)
+            # attempt of the same transaction — idempotent skip.
+            meta = pq.read_metadata(staged)
+            return self._lineage(part, staged, meta.num_rows, changes)
+        cur_path = self.current_files.get(part)
+        tables = [changes]
+        if cur_path is not None:
+            existing = pq.read_table(os.path.join(self.table_dir, cur_path))
+            tables.append(existing)
+        merged = _lww_reduce(concat_reconciled(tables))
+        # deletes drop out of the table ("op" is null for carried-forward rows)
+        if "op" in merged.column_names:
+            op = merged.column("op")
+            keep = pc.or_kleene(pc.is_null(op), pc.not_equal(op, "D"))
+            merged = merged.filter(pc.fill_null(keep, True))
+            merged = merged.drop_columns(["op"])
+        idx = pc.sort_indices(
+            merged, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        merged = merged.take(idx)
+        os.makedirs(self.staging_dir, exist_ok=True)
+        tmp = staged + ".tmp"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, staged)
+        return self._lineage(part, staged, merged.num_rows, changes)
+
+    def _lineage(self, part: int, staged: str, rows: int, changes: pa.Table) -> pa.Table:
+        wm = pc.max(changes.column(LSN_COL)).as_py() if changes.num_rows else None
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "rows": pa.array([rows], pa.int64()),
+                "changes_applied": pa.array([changes.num_rows], pa.int64()),
+                "watermark_lsn": pa.array([wm], pa.int64()),
+                "file": pa.array([staged], pa.string()),
+                "sha256": pa.array([_file_digest(staged)], pa.string()),
+            }
+        )
+
+
+class CdcTable:
+    """A partitioned Parquet lake table with manifest-based transactional
+    commits (exactly-once sink, SURVEY.md §7.1 step 4).
+
+    Layout:
+        <dir>/manifests/manifest-<version>.json   (+ MANIFEST pointer file)
+        <dir>/data/p<part>/<txn>.parquet
+        <dir>/staging/<txn>/p<part>.parquet
+    """
+
+    def __init__(self, table_dir: str, num_partitions: int = 64):
+        self.table_dir = table_dir
+        self.num_partitions = num_partitions
+        os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+        os.makedirs(os.path.join(table_dir, "staging"), exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.table_dir, "manifests", "MANIFEST")
+
+    def latest_manifest(self) -> Optional[dict]:
+        if not os.path.exists(self._pointer):
+            return None
+        with open(self._pointer) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.table_dir, "manifests", name)) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        """Atomic: write manifest file, then atomically swap the pointer."""
+        name = f"manifest-{manifest['version']:08d}.json"
+        path = os.path.join(self.table_dir, "manifests", name)
+        with tempfile.NamedTemporaryFile(
+            "w", dir=os.path.dirname(path), suffix=".tmp", delete=False
+        ) as f:
+            json.dump(manifest, f, indent=1)
+            tmp = f.name
+        os.replace(tmp, path)
+        with tempfile.NamedTemporaryFile(
+            "w", dir=os.path.dirname(path), suffix=".ptr", delete=False
+        ) as f:
+            f.write(name)
+            tmp = f.name
+        os.replace(tmp, self._pointer)  # THE commit point
+
+    @property
+    def watermark(self) -> int:
+        m = self.latest_manifest()
+        return m["watermark_lsn"] if m else 0
+
+    # -- init / apply ------------------------------------------------------
+
+    def init_from_snapshot(self, ds, snapshot_lsn: int = 0) -> dict:
+        """Bootstrap the table from a base snapshot Dataset (lsn 0)."""
+        import ray.data  # noqa: F401  (caller guarantees an initialized Ray)
+
+        def add_cols(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            batch = batch.append_column(LSN_COL, pa.array([snapshot_lsn] * n, pa.int64()))
+            conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+            parts = _hash_partition(conv, self.num_partitions)
+            return batch.append_column(PART_COL, pa.array(parts, pa.int32()))
+
+        txn_id = f"txn-init-{snapshot_lsn}"
+        merge = MergePartition(self.table_dir, txn_id, current_files={})
+
+        def merge_partition(group):
+            return merge(group)
+
+        lineage = (
+            ds.map_batches(add_cols, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(PART_COL)
+            .map_groups(merge_partition, batch_format="pyarrow")
+            .take_all()
+        )
+        return self._finalize(lineage, txn_id, snapshot_lsn, parent=None)
+
+    def apply_changes(
+        self,
+        segment_paths: list[str],
+        recipe: Optional[Union[str, list[str]]] = None,
+        batch_size: Optional[int] = None,
+    ) -> dict:
+        """Tail the binlog: apply all events with lsn > watermark from the
+        given segment files. Returns the committed manifest (or the current
+        one when there is nothing new)."""
+        import ray.data as rd
+
+        manifest = self.latest_manifest()
+        watermark = manifest["watermark_lsn"] if manifest else 0
+        parent = manifest["version"] if manifest else None
+        current_files = (
+            {int(k): v for k, v in manifest["partitions"].items()} if manifest else {}
+        )
+
+        # additive schema unification across segment footers (cheap metadata
+        # reads on the driver — no data IO)
+        schemas = [pq.read_schema(p) for p in segment_paths]
+        schema = unified_schema(schemas)
+
+        # prune finished segments entirely via footer stats
+        pending = []
+        max_lsn = watermark
+        for p, s in zip(segment_paths, schemas):
+            md = pq.read_metadata(p)
+            seg_max = None
+            try:
+                i = s.names.index("lsn")
+                stats = [
+                    md.row_group(g).column(i).statistics for g in range(md.num_row_groups)
+                ]
+                seg_max = max(st.max for st in stats if st is not None)
+                seg_min = min(st.min for st in stats if st is not None)
+            except Exception:
+                seg_min = None
+            if seg_max is not None and seg_max <= watermark:
+                continue  # fully applied already
+            pending.append(p)
+            if seg_max is not None:
+                max_lsn = max(max_lsn, seg_max)
+        if not pending:
+            return manifest
+
+        txn_id = f"txn-{(parent or 0) + 1:08d}-{watermark}"
+
+        ds = rd.read_parquet(pending, schema=schema)
+        if watermark > 0:
+            ds = ds.filter(expr=f"lsn > {watermark}")
+
+        if recipe is not None:
+            from wrangler_ray.pipeline import DirectiveChain, compile_recipe
+
+            chain = DirectiveChain(compile_recipe(recipe), on_error="skip")
+            ds = ds.map_batches(
+                chain, batch_format="pyarrow", zero_copy_batch=True,
+                **({"batch_size": batch_size} if batch_size else {}),
+            )
+
+        def rename_lsn(batch: pa.Table) -> pa.Table:
+            if "lsn" in batch.column_names:
+                names = [LSN_COL if n == "lsn" else n for n in batch.column_names]
+                return batch.rename_columns(names)
+            return batch
+
+        combiner = CombineLww(self.num_partitions)
+        merge = MergePartition(self.table_dir, txn_id, current_files=current_files)
+
+        def merge_partition(group):
+            return merge(group)
+
+        lineage = (
+            ds.map_batches(rename_lsn, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(combiner, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(PART_COL)
+            .map_groups(merge_partition, batch_format="pyarrow")
+            .take_all()
+        )
+        if max_lsn == watermark:
+            # no footer stats: fall back to lineage watermark
+            max_lsn = max(
+                (r["watermark_lsn"] for r in lineage if r["watermark_lsn"]), default=watermark
+            )
+        return self._finalize(lineage, txn_id, max_lsn, parent=parent)
+
+    def _finalize(self, lineage: list[dict], txn_id: str, watermark: int, parent) -> dict:
+        """Promote staged files into data/, commit the manifest atomically."""
+        manifest = self.latest_manifest()
+        partitions = dict(manifest["partitions"]) if manifest else {}
+        lineage_rec = {}
+        for r in lineage:
+            part = int(r["part"])
+            dst_dir = os.path.join(self.table_dir, "data", f"p{part:05d}")
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, f"{txn_id}.parquet")
+            rel = os.path.relpath(dst, self.table_dir)
+            if not os.path.exists(dst):
+                os.replace(r["file"], dst)
+            partitions[str(part)] = rel
+            lineage_rec[str(part)] = {
+                "rows": int(r["rows"]),
+                "changes_applied": int(r["changes_applied"]),
+                "watermark_lsn": r["watermark_lsn"],
+                "sha256": r["sha256"],
+            }
+        new_manifest = {
+            "version": (parent or 0) + 1,
+            "parent": parent,
+            "txn_id": txn_id,
+            "watermark_lsn": int(watermark),
+            "num_partitions": self.num_partitions,
+            "partitions": partitions,
+            "lineage": lineage_rec,
+            "total_rows": sum(
+                lr["rows"] for lr in lineage_rec.values()
+            )
+            + sum(
+                pq.read_metadata(os.path.join(self.table_dir, partitions[p])).num_rows
+                for p in partitions
+                if p not in lineage_rec
+            ),
+        }
+        self._commit_manifest(new_manifest)
+        return new_manifest
+
+    # -- read --------------------------------------------------------------
+
+    def files(self) -> list[str]:
+        m = self.latest_manifest()
+        if not m:
+            return []
+        return [os.path.join(self.table_dir, f) for f in m["partitions"].values()]
+
+    def read(self, drop_internal: bool = True):
+        """The table as a Ray Dataset (one file per partition, pre-sorted by
+        (conv_id, turn_idx) within partitions)."""
+        import ray.data as rd
+
+        files = self.files()
+        if not files:
+            raise FileNotFoundError(f"no committed manifest in {self.table_dir}")
+        schema = unified_schema([pq.read_schema(f) for f in files])
+        ds = rd.read_parquet(files, schema=schema)
+        if drop_internal:
+            ds = ds.map_batches(
+                lambda t: t.drop_columns([c for c in (LSN_COL,) if c in t.column_names]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        return ds
+
+    def read_arrow(self, drop_internal: bool = True) -> pa.Table:
+        """Driver-side read for tests/small tables."""
+        files = self.files()
+        tabs = [pq.read_table(f) for f in files]
+        schema = unified_schema([t.schema for t in tabs])
+        out = pa.concat_tables([unify_to_schema(t, schema) for t in tabs])
+        idx = pc.sort_indices(
+            out, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        out = out.take(idx)
+        if drop_internal and LSN_COL in out.column_names:
+            out = out.drop_columns([LSN_COL])
+        return out
