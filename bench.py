@@ -1,0 +1,236 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N, ...}
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+  - cdc_apply:      events-derived change stream (amplified ×10 deterministic
+                    copies) → CdcTable.apply_changes → committed manifest.
+                    Also reported as events/sec (the BASELINE.json metric).
+  - directive_chain: 12-directive wrangle over documents (reference "light
+                    recipe" analog) — records/sec comparable to
+                    wrangler-docs/performance.md.
+  - dedup_minhash:  MinHash+LSH near-dup over documents.
+  - text_analysis:  langid+quality+tokens+fingerprint over documents.
+  - pricing_summary: lineitem groupby aggregate (shuffle path).
+
+--scaling: run the same job in fresh processes at num_cpus=8 and 32 and
+report throughput at both plus efficiency (BASELINE.md criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CDC_AMPLIFY = int(os.environ.get("WR_CDC_AMPLIFY", "10"))
+
+
+def _amplified_changes(sf_dir: str, workdir: str, copies: int):
+    """Deterministic change stream derived from the events table, amplified
+    `copies`× with shifted lsns/conv ids (distinct keys per copy → realistic
+    volume without synthetic-only data)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import numpy as np
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    n = ev.num_rows
+    eid = ev.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    user = ev.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    segs = []
+    seg_dir = os.path.join(workdir, "segments")
+    os.makedirs(seg_dir, exist_ok=True)
+    total = 0
+    op = pc.if_else(pc.less(ev.column("value"), 5.0), pa.scalar("D"), pa.scalar("U"))
+    turn = pa.array((eid % 50).astype(np.int32), pa.int32())
+    user_mod = user % 5000
+    for c in range(copies):
+        conv = pa.array([f"conv{c}-{u}" for u in user_mod], pa.string())
+        t = pa.table(
+            {
+                "lsn": pa.array(eid + c * n, pa.int64()),
+                "op": op,
+                "conv_id": conv,
+                "turn_idx": turn,
+                "role": ev.column("event_type"),
+                "text": ev.column("props"),
+                "tool": ev.column("event_type"),
+                "ts": ev.column("ts"),
+            }
+        )
+        p = os.path.join(seg_dir, f"segment-{c:04d}.parquet")
+        pq.write_table(t, p)
+        segs.append(p)
+        total += n
+    return segs, total
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from wrangler_ray.cdc.engine import CdcTable
+    from wrangler_ray.ops.dedup import minhash_lsh_dedup
+    from wrangler_ray.ops.text import analyze
+    from wrangler_ray.pipeline import apply_recipe
+
+    queries: dict[str, float] = {}
+    extras: dict = {}
+    workdir = tempfile.mkdtemp(prefix="wr_bench_")
+
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    for name in ("events", "documents", "lineitem"):
+        with open(os.path.join(SF_DIR, f"{name}.parquet"), "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    # -- cdc_apply ---------------------------------------------------------
+    segs, n_events = _amplified_changes(SF_DIR, workdir, CDC_AMPLIFY)
+    lake = CdcTable(os.path.join(workdir, "lake"), num_partitions=4 * NUM_CPUS)
+    t0 = time.perf_counter()
+    lake.apply_changes(segs)
+    dt = time.perf_counter() - t0
+    queries["cdc_apply"] = round(dt, 3)
+    extras["cdc_events"] = n_events
+    extras["cdc_events_per_sec"] = round(n_events / dt, 1)
+
+    # -- directive_chain ---------------------------------------------------
+    recipe = [
+        "copy :text :raw",
+        "lowercase :raw",
+        "trim :raw",
+        "set-column :len exp:{string:length(text)}",
+        "set-column :bucket exp:{len > 300 ? 'long' : 'short'}",
+        "hash :raw 'MD5' true",
+        "mask-number :doc_id_s 'xx######'",
+        "fill-null-or-empty :source 'unknown'",
+        "uppercase :lang",
+        "filter-row exp:{len < 5} true",
+        "drop :n_chars",
+    ]
+    ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "doc_id_s",
+            __import__("pyarrow.compute", fromlist=["cast"]).cast(
+                t.column("doc_id"), "string"
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    t0 = time.perf_counter()
+    n_docs = apply_recipe(ds, recipe).count()
+    dt = time.perf_counter() - t0
+    queries["directive_chain"] = round(dt, 3)
+    extras["directive_records_per_sec"] = round(n_docs / dt, 1)
+
+    # -- dedup_minhash -----------------------------------------------------
+    t0 = time.perf_counter()
+    minhash_lsh_dedup(
+        rd.read_parquet(
+            os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+        )
+    ).count()
+    queries["dedup_minhash"] = round(time.perf_counter() - t0, 3)
+
+    # -- text_analysis -----------------------------------------------------
+    t0 = time.perf_counter()
+    analyze(
+        rd.read_parquet(
+            os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+        ),
+        concurrency=max(2, NUM_CPUS // 4),
+    ).count()
+    queries["text_analysis"] = round(time.perf_counter() - t0, 3)
+
+    # -- pricing_summary ---------------------------------------------------
+    import __ray_entry__ as entrymod
+
+    t0 = time.perf_counter()
+    entrymod.queries()["pricing_summary"](SF_DIR)
+    queries["pricing_summary"] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "headline_pipelines_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+    return result
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    # efficiency on the CDC headline (events/sec throughput ratio vs CPU ratio)
+    thr_lo = r_lo["cdc_events_per_sec"]
+    thr_hi = r_hi["cdc_events_per_sec"]
+    eff_cdc = (thr_hi / thr_lo) / (hi / lo)
+    eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff_cdc, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "cdc_events_per_sec_lo": thr_lo,
+        "cdc_events_per_sec_hi": thr_hi,
+        "total_sec_lo": r_lo["value"],
+        "total_sec_hi": r_hi["value"],
+        "efficiency_total_wall": round(eff_total, 3),
+        "queries_lo": r_lo["queries"],
+        "queries_hi": r_hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        res = run_benchmarks()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(res))

@@ -1,0 +1,420 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Shuffle shape (the part that matters at 100 TB):
+- exact: content-hash inside ``map_batches`` (vectorized) → ONE groupby on the
+  64-bit hash → keep min-id row per group. Shuffle volume = full data once,
+  but grouped on a uniform hash → no skew.
+- near-dup (MinHash/SimHash/embedding-LSH): signatures per batch (numpy) →
+  explode to (bucket_key, doc_id) pairs — a FRACTION of the input bytes —
+  → groupby(bucket) emits candidate edges → connected components. Candidate
+  edges are ~O(#duplicates); we union-find them on the driver (documented
+  assumption: duplicate clusters ≪ corpus; for adversarial corpora swap in
+  the iterative min-label-propagation groupby loop).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_HASH_SEED = 0x9E3779B97F4A7C15
+
+
+def _content_hash(texts: np.ndarray) -> np.ndarray:
+    """Stable 64-bit content hash per value (vectorized via pandas siphash)."""
+    return pd.util.hash_array(texts.astype(object), categorize=False).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep exactly one row (min id) per distinct text value.
+
+    hash-partition + per-group first — SURVEY §2.9. The groupby key is the
+    64-bit content hash (uniform, skew-free); collisions are broken by
+    comparing the actual text inside the group."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = _content_hash(t.column(text_col).to_numpy(zero_copy_only=False))
+        return t.append_column("_h", pa.array(h.astype(np.int64)))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        # within one hash bucket: min id per distinct text (collision-safe)
+        idx = g.groupby(text_col, sort=False)[id_col].idxmin()
+        return g.loc[idx]
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_h")
+        .map_groups(keep_first, batch_format="pandas")
+        .drop_columns(["_h"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash
+# ---------------------------------------------------------------------------
+
+_FNV = np.uint64(1099511628211)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Murmur3-style finalizer (bit spread), vectorized, wraps mod 2^64."""
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Character-k-shingle 64-bit hashes, fully vectorized: sliding windows
+    over the utf-8 bytes dotted with FNV-prime powers (mod 2^64), then a
+    murmur finalizer. Deterministic across processes."""
+    if text is None:
+        return np.empty(0, np.uint64)
+    s = " ".join(text.split()).lower()
+    if len(s) < k:
+        s = s.ljust(k)
+    codes = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(codes) < k:
+        codes = np.pad(codes, (0, k - len(codes)), constant_values=32)
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)
+    powers = np.empty(k, np.uint64)
+    powers[0] = 1
+    for i in range(1, k):
+        powers[i] = powers[i - 1] * _FNV  # wraps mod 2^64
+    with np.errstate(over="ignore"):
+        h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    return _mix64(h)
+
+
+class MinHasher:
+    """num_perm universal-hash permutations h_i(x) = (a_i*x + b_i) mod p.
+    Stateful (parameter matrix built once) → used as an actor-pool stage."""
+
+    P = (1 << 61) - 1
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 1):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, self.P, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, self.P, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.shingle_k)
+        if len(sh) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
+        # (num_perm, n_shingles) via broadcasting, min over shingles
+        prod = (sh[None, :] * self.a[:, None] + self.b[:, None]) % self.P
+        return prod.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist() if "text" in batch.column_names else []
+        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.empty((0, self.num_perm), np.uint64)
+        return batch.append_column(
+            "_minhash", pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64()))
+        )
+
+
+def _collect_edges(ds_pairs, max_edges: int = 2_000_000) -> list[tuple]:
+    """Collect candidate edges on the driver (assumption: |edges| ≪ corpus).
+    Raises if the cap is exceeded — switch to the distributed label-propagation
+    path in that case rather than OOMing the driver."""
+    edges = ds_pairs.take_all()
+    if len(edges) > max_edges:
+        raise RuntimeError(
+            f"candidate edge set too large for driver union-find ({len(edges)}); "
+            "use label-propagation mode"
+        )
+    return edges
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            self.parent[x] = p = self.parent.setdefault(p, p)
+            x, p = p, self.parent[p]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller id wins
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            self.parent[hi] = lo
+
+
+def minhash_lsh_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    shingle_k: int = 5,
+):
+    """MinHash+LSH near-dup removal: shingle→minhash→band→bucket groupby→
+    candidate pairs→verify Jaccard→connected components→keep min-id per
+    cluster. Returns the deduplicated Dataset."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+
+    def sign_and_band(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_band, out_key, out_id = [], [], []
+        for i, txt in enumerate(texts):
+            sig = hasher.signature(txt)
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                key = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
+                ) >> 1
+                out_band.append(b)
+                out_key.append(key)
+                out_id.append(ids[i])
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "key": pa.array(out_key, pa.int64()),
+                id_col: pa.array(out_id),
+            }
+        )
+
+    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        lo = ids[0]
+        return pd.DataFrame({"a": [lo] * (len(ids) - 1), "b": ids[1:]})
+
+    pairs = (
+        ds.map_batches(sign_and_band, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "key"])
+        .map_groups(bucket_edges, batch_format="pandas")
+    )
+    edges = _collect_edges(pairs)
+
+    # verify candidates with true n-gram Jaccard (fetch texts of candidates)
+    cand_ids = sorted({e["a"] for e in edges} | {e["b"] for e in edges})
+    if cand_ids:
+        texts = {}
+        cand_set = set(cand_ids)
+
+        def collect_cand(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_pylist()
+            txts = t.column(text_col).to_pylist()
+            mask = [i in cand_set for i in ids]
+            return pa.table(
+                {
+                    id_col: pa.array([i for i, m in zip(ids, mask) if m]),
+                    text_col: pa.array([x for x, m in zip(txts, mask) if m]),
+                }
+            )
+
+        for row in ds.map_batches(
+            collect_cand, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all():
+            texts[row[id_col]] = row[text_col]
+        uf = _UnionFind()
+        for e in edges:
+            ja = ngram_jaccard(texts.get(e["a"]), texts.get(e["b"]), k=shingle_k)
+            if ja >= jaccard_threshold:
+                uf.union(e["a"], e["b"])
+        drop = {x for x in uf.parent if uf.find(x) != x}
+    else:
+        drop = set()
+
+    def remove_dups(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        keep = pa.array([i not in drop for i in ids])
+        return t.filter(keep)
+
+    return ds.map_batches(remove_dups, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    """True character-k-gram Jaccard similarity."""
+    if a is None or b is None:
+        return 0.0
+    sa = set(_shingle_hashes(a, k).tolist())
+    sb = set(_shingle_hashes(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (bit-vote), vectorized: token hashes
+    via pandas siphash, bit matrix via broadcast shifts."""
+    if not text:
+        return 0
+    toks = np.array(text.lower().split(), dtype=object)
+    if len(toks) == 0:
+        return 0
+    h = pd.util.hash_array(toks, categorize=False).astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = bits.sum(axis=0) * 2 - len(toks)
+    out = np.uint64(0)
+    for i in np.nonzero(votes > 0)[0]:
+        out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
+    """SimHash near-dup: 64-bit signature, 4×16-bit band blocking (any pair
+    within hamming ≤3 shares at least one exact 16-bit band), verify hamming
+    within buckets, drop non-representatives."""
+
+    def sign(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        rows_band, rows_key, rows_id, rows_sig = [], [], [], []
+        for i, txt in enumerate(texts):
+            sh = simhash64(txt)
+            for b in range(4):
+                rows_band.append(b)
+                rows_key.append((sh >> (16 * b)) & 0xFFFF)
+                rows_id.append(ids[i])
+                rows_sig.append(sh - (1 << 63))  # store as signed int64
+        return pa.table(
+            {
+                "band": pa.array(rows_band, pa.int32()),
+                "key": pa.array(rows_key, pa.int32()),
+                id_col: pa.array(rows_id),
+                "sig": pa.array(rows_sig, pa.int64()),
+            }
+        )
+
+    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        g = g.sort_values(id_col)
+        sigs = (g["sig"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
+        ids = g[id_col].tolist()
+        a_out, b_out = [], []
+        base_sig = sigs[0]
+        for i in range(1, len(ids)):
+            if bin(int(base_sig ^ sigs[i])).count("1") <= max_hamming:
+                a_out.append(ids[0])
+                b_out.append(ids[i])
+        return pd.DataFrame({"a": a_out, "b": b_out})
+
+    pairs = (
+        ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "key"])
+        .map_groups(bucket_edges, batch_format="pandas")
+    )
+    edges = _collect_edges(pairs)
+    uf = _UnionFind()
+    for e in edges:
+        uf.union(e["a"], e["b"])
+    drop = {x for x in uf.parent if uf.find(x) != x}
+
+    def remove_dups(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        return t.filter(pa.array([i not in drop for i in ids]))
+
+    return ds.map_batches(remove_dups, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dedup(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.98,
+    num_planes: int = 16,
+    seed: int = 3,
+    dim: int | None = None,
+):
+    """Embedding near-dup: random-hyperplane LSH bucket → within-bucket exact
+    cosine → union-find → keep min-id. ``num_planes`` sign bits per vector;
+    exact cosine verification happens only within buckets."""
+    import ray
+
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first[vec_col])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, num_planes).astype(np.float32)
+    planes_ref = ray.put(planes)
+
+    def sign(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        vecs = np.stack(t.column(vec_col).to_pylist()).astype(np.float32)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        bits = (unit @ pl) > 0
+        keys = np.zeros(len(vecs), np.int64)
+        for j in range(num_planes):
+            keys |= bits[:, j].astype(np.int64) << j
+        out = pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                id_col: t.column(id_col),
+                vec_col: t.column(vec_col),
+            }
+        )
+        return out
+
+    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        g = g.sort_values(id_col)
+        vecs = np.stack(g[vec_col].to_numpy()).astype(np.float32)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        sims = unit @ unit.T
+        ids = g[id_col].tolist()
+        a_out, b_out = [], []
+        n = len(ids)
+        iu, ju = np.triu_indices(n, k=1)
+        hit = sims[iu, ju] >= cosine_threshold
+        for i, j in zip(iu[hit], ju[hit]):
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+        return pd.DataFrame({"a": a_out, "b": b_out})
+
+    pairs = (
+        ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .map_groups(bucket_edges, batch_format="pandas")
+    )
+    edges = _collect_edges(pairs)
+    uf = _UnionFind()
+    for e in edges:
+        uf.union(e["a"], e["b"])
+    drop = {x for x in uf.parent if uf.find(x) != x}
+
+    def remove_dups(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        return t.filter(pa.array([i not in drop for i in ids]))
+
+    return ds.map_batches(remove_dups, batch_format="pyarrow", zero_copy_batch=True)

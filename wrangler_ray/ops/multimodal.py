@@ -1,0 +1,184 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by actor-pool map_batches stages.
+
+The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so the
+decode kernels are STUBBED behind a deterministic fake (``fake=True``, used by
+tests/bench) or a clearly-marked NotImplementedError. Everything around them —
+schema contract, batch sizing, actor signatures, output layout — is real and
+tested; swapping in a real decoder touches only ``_decode_*_real``.
+
+Schema contract:
+    image:  (id: int64, media: binary, media_type: string,
+             width: int32, height: int32)  [+ decoded columns added by stages]
+    audio:  (id: int64, media: binary, media_type: string,
+             sample_rate: int32, n_samples: int64)
+
+Batch-size guidance (memory-aware): large binary payloads → small
+``batch_size`` (e.g. 32-256) so batch × concurrency fits worker heap; keep
+``batch_format="pyarrow"`` (binary columns don't round-trip pandas well).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake decode: pixels derived from the payload digest."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+    rng = np.random.RandomState(seed % (2**32))
+    return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+class DecodeImage:
+    """binary → pixel features. Actor-pool stage: decoder initialized once.
+
+    Adds: ``pix_mean: float32``, ``pix_std: float32``, ``decoded_ok: bool``.
+    Real implementation would decode with PIL and also emit a fixed-size
+    tensor column; the fake path derives deterministic pixels from the bytes.
+    """
+
+    def __init__(self, media_col: str = "media", fake: bool = True):
+        self.media_col = media_col
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "DecodeImage: real decode requires PIL, not in this container; "
+                "construct with fake=True"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.media_col).to_pylist()
+        widths = batch.column("width").to_pylist() if "width" in batch.column_names else None
+        heights = batch.column("height").to_pylist() if "height" in batch.column_names else None
+        means, stds, oks = [], [], []
+        for i, p in enumerate(payloads):
+            if p is None:
+                means.append(None)
+                stds.append(None)
+                oks.append(False)
+                continue
+            w = widths[i] if widths else 16
+            h = heights[i] if heights else 16
+            px = _fake_pixels(bytes(p), w or 16, h or 16)
+            means.append(float(px.mean()))
+            stds.append(float(px.std()))
+            oks.append(True)
+        batch = batch.append_column("pix_mean", pa.array(means, pa.float32()))
+        batch = batch.append_column("pix_std", pa.array(stds, pa.float32()))
+        return batch.append_column("decoded_ok", pa.array(oks, pa.bool_()))
+
+
+class ResizeImage:
+    """Stub resize: records the target size + output byte-length it WOULD
+    produce (w*h*3); real path would re-encode. Adds ``resized_w/resized_h/
+    resized_nbytes``."""
+
+    def __init__(self, width: int, height: int, media_col: str = "media"):
+        self.width = width
+        self.height = height
+        self.media_col = media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = batch.append_column("resized_w", pa.array([self.width] * n, pa.int32()))
+        batch = batch.append_column("resized_h", pa.array([self.height] * n, pa.int32()))
+        nb = [
+            self.width * self.height * 3 if v is not None else None
+            for v in batch.column(self.media_col).to_pylist()
+        ]
+        return batch.append_column("resized_nbytes", pa.array(nb, pa.int64()))
+
+
+class SampleFrames:
+    """Video frame sampling stub: given ``n_frames`` metadata, emits the frame
+    indices an ffmpeg-based sampler would extract (every ``stride``-th frame,
+    cap ``max_frames``). Adds ``frame_indices: list<int32>``."""
+
+    def __init__(self, stride: int = 30, max_frames: int = 8):
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nf = (
+            batch.column("n_frames").to_pylist()
+            if "n_frames" in batch.column_names
+            else [0] * batch.num_rows
+        )
+        idxs = [
+            list(range(0, int(x), self.stride))[: self.max_frames] if x else []
+            for x in nf
+        ]
+        return batch.append_column(
+            "frame_indices", pa.array(idxs, pa.list_(pa.int32()))
+        )
+
+
+class AudioFeatures:
+    """Audio feature stub: deterministic fake waveform stats from payload
+    digest. Adds ``rms: float32``, ``duration_s: float32``."""
+
+    def __init__(self, media_col: str = "media", fake: bool = True):
+        self.media_col = media_col
+        if not fake:
+            raise NotImplementedError("AudioFeatures: real decode needs an audio lib")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.media_col).to_pylist()
+        srs = (
+            batch.column("sample_rate").to_pylist()
+            if "sample_rate" in batch.column_names
+            else [16000] * batch.num_rows
+        )
+        ns = (
+            batch.column("n_samples").to_pylist()
+            if "n_samples" in batch.column_names
+            else [0] * batch.num_rows
+        )
+        rms, dur = [], []
+        for p, sr, n in zip(payloads, srs, ns):
+            if p is None:
+                rms.append(None)
+                dur.append(None)
+                continue
+            seed = int.from_bytes(hashlib.blake2b(bytes(p), digest_size=8).digest(), "little")
+            rng = np.random.RandomState(seed % (2**32))
+            wave = rng.randn(min(int(n) or 1000, 10_000)).astype(np.float32)
+            rms.append(float(np.sqrt((wave**2).mean())))
+            dur.append(float((n or 0) / (sr or 16000)))
+        batch = batch.append_column("rms", pa.array(rms, pa.float32()))
+        return batch.append_column("duration_s", pa.array(dur, pa.float32()))
+
+
+def make_fake_image_table(n: int = 64, seed: int = 9) -> pa.Table:
+    """Deterministic synthetic multimodal fixture (binary payload + metadata)."""
+    rng = np.random.RandomState(seed)
+    payloads = [rng.bytes(int(rng.randint(200, 2000))) for _ in range(n)]
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "media": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image/png"] * n, pa.string()),
+            "width": pa.array(rng.randint(8, 64, n), pa.int32()),
+            "height": pa.array(rng.randint(8, 64, n), pa.int32()),
+        }
+    )
+
+
+def image_pipeline(ds, batch_size: int = 64, concurrency: int | None = None):
+    """decode → resize as actor-pool stages with small batches (binary-heavy).
+    num_cpus=0.5 per actor so the two pools share the node with the read
+    stage instead of starving it (pool CPUs must stay < session CPUs)."""
+    kw = {"concurrency": concurrency or 2, "num_cpus": 0.5}
+    ds = ds.map_batches(
+        DecodeImage, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, **kw,
+    )
+    return ds.map_batches(
+        ResizeImage, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size,
+        fn_constructor_kwargs={"width": 224, "height": 224}, **kw,
+    )

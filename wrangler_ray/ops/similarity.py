@@ -1,0 +1,195 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: the exact baseline — the query matrix is broadcast
+  once via ``ray.put``; every batch does one numpy matmul and emits only its
+  local top-k (k rows per query per batch), merged on the driver. Shuffle
+  volume: zero; driver sees O(num_batches * k * q) tiny rows.
+- ``lsh_topk``: the scale path — random-hyperplane bucket signatures with
+  multi-probe (hamming radius 1); batches prune candidates to matching
+  buckets before the matmul.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BatchTopK:
+    """Per-batch exact cosine top-k against a broadcast query matrix.
+    Stateful stage: queries fetched from the object store ONCE per actor."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.q = _normalize(np.asarray(q, np.float32))  # (nq, d)
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int32()),
+                    self.id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float32()),
+                }
+            )
+        vecs = np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float32)
+        unit = _normalize(vecs)
+        sims = self.q @ unit.T  # (nq, nb)
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            for j in top[qi]:
+                out_q.append(qi)
+                out_id.append(int(ids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                self.id_col: pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float32()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int | None = None,
+):
+    """Exact cosine top-k of each query against the whole dataset.
+    Returns a pyarrow Table (query_idx, id, score) of k rows per query,
+    sorted by (query_idx, -score, id)."""
+    import ray
+
+    queries = np.asarray(queries, np.float32)
+    qref = ray.put(queries)
+    partials = ds.map_batches(
+        _BatchTopK,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_constructor_kwargs=dict(queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col),
+        concurrency=concurrency or 4,  # callable class → actor pool; size it
+    )
+
+    # merge tiny per-batch top-k lists on the driver with a heap per query
+    heaps: dict[int, list] = {}
+    for row in partials.take_all():
+        h = heaps.setdefault(row["query_idx"], [])
+        # heap orders by (score, -id) so ties prefer the smaller id
+        item = (row["score"], -row[id_col])
+        if len(h) < k:
+            heapq.heappush(h, item)
+        else:
+            heapq.heappushpop(h, item)
+    out_q, out_id, out_s = [], [], []
+    for qi in sorted(heaps):
+        best = sorted(heaps[qi], key=lambda x: (-x[0], -x[1]))
+        for s, neg_id in best:
+            out_q.append(qi)
+            out_id.append(-neg_id)
+            out_s.append(s)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int32()),
+            id_col: pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float32()),
+        }
+    )
+
+
+def lsh_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 12,
+    seed: int = 5,
+):
+    """Approximate top-k: random-hyperplane signatures; batches only score
+    vectors whose bucket is within hamming distance 1 of a query bucket.
+    Same output shape as brute_force_topk."""
+    import ray
+
+    queries = np.asarray(queries, np.float32)
+    dim = queries.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, num_planes).astype(np.float32)
+
+    def sig(m: np.ndarray) -> np.ndarray:
+        bits = (_normalize(m) @ planes) > 0
+        keys = np.zeros(len(m), np.int64)
+        for j in range(num_planes):
+            keys |= bits[:, j].astype(np.int64) << j
+        return keys
+
+    q_sigs = sig(queries)
+    # multi-probe: each query accepts its bucket plus all radius-1 neighbors
+    accept: set[int] = set()
+    for s in q_sigs:
+        accept.add(int(s))
+        for j in range(num_planes):
+            accept.add(int(s) ^ (1 << j))
+    accept_ref = ray.put((planes, accept))
+    qref = ray.put(queries)
+
+    class PrunedTopK(_BatchTopK):
+        def __init__(self):
+            super().__init__(qref, k, vec_col, id_col)
+            pl, acc = ray.get(accept_ref)
+            self.planes = pl
+            self.accept = acc
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return super().__call__(batch)
+            vecs = np.stack(batch.column(vec_col).to_pylist()).astype(np.float32)
+            bits = (_normalize(vecs) @ self.planes) > 0
+            keys = np.zeros(len(vecs), np.int64)
+            for j in range(self.planes.shape[1]):
+                keys |= bits[:, j].astype(np.int64) << j
+            mask = np.fromiter((int(x) in self.accept for x in keys), bool, len(keys))
+            pruned = batch.filter(pa.array(mask))
+            return super().__call__(pruned)
+
+    partials = ds.map_batches(PrunedTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=4)
+    heaps: dict[int, list] = {}
+    for row in partials.take_all():
+        h = heaps.setdefault(row["query_idx"], [])
+        item = (row["score"], -row[id_col])
+        if len(h) < k:
+            heapq.heappush(h, item)
+        else:
+            heapq.heappushpop(h, item)
+    out_q, out_id, out_s = [], [], []
+    for qi in sorted(heaps):
+        best = sorted(heaps[qi], key=lambda x: (-x[0], -x[1]))
+        for s, neg_id in best:
+            out_q.append(qi)
+            out_id.append(-neg_id)
+            out_s.append(s)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int32()),
+            id_col: pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float32()),
+        }
+    )

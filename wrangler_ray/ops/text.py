@@ -1,0 +1,191 @@
+"""Text analysis stages for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting. All stateful setup (regex
+compile, profile tables) happens once per actor (``__init__``), work per
+batch is vectorized pandas/numpy."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+# tiny trigram/stopword profiles per language (heuristic n-gram language-ID)
+_PROFILES = {
+    "en": {"the", "and", "ing", " th", "of ", "ion", "to ", " an", "ed ", "is "},
+    "de": {"der", "die", "und", "ein", "sch", "ich", "den", "cht", "das", "ung"},
+    "fr": {"les", "de ", "ent", "le ", "la ", "des", "que", "ion", "une", "ais"},
+    "es": {"de ", "la ", "que", "el ", "los", "ión", "ado", "con", "una", "por"},
+    "it": {"di ", "che", "la ", "il ", "per", "con", "una", "ione", "non", "gli"},
+}
+_STOPWORDS = {
+    "the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on", "as",
+    "with", "was", "at", "by", "an", "be", "this", "are",
+}
+
+
+class LanguageId:
+    """Heuristic trigram language-ID (actor-pool stage). Adds ``lang_pred``
+    and ``lang_score`` columns."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.profiles = {k: frozenset(v) for k, v in _PROFILES.items()}
+
+    def classify(self, text: str) -> tuple[str, float]:
+        if not text:
+            return "und", 0.0
+        s = text.lower()
+        grams = {s[i : i + 3] for i in range(0, min(len(s) - 2, 4000))}
+        best, score = "und", 0.0
+        for lang, prof in self.profiles.items():
+            hits = len(grams & prof) / len(prof)
+            if hits > score:
+                best, score = lang, hits
+        return (best if score > 0.15 else "und"), score
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        preds, scores = [], []
+        for t in texts:
+            p, s = self.classify(t)
+            preds.append(p)
+            scores.append(s)
+        batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        return batch.append_column("lang_score", pa.array(scores, pa.float32()))
+
+
+class QualityScore:
+    """Document quality heuristics (length / punctuation / stopword-ratio /
+    mean word length), one pandas-vectorized pass per batch. Adds
+    ``q_len, q_punct_ratio, q_stop_ratio, q_mean_wordlen, quality``."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[A-Za-z']+")
+        self.punct_re = re.compile(r"[^\w\s]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        length = s.str.len()
+        punct = s.str.count(self.punct_re) / length.clip(lower=1)
+        words = s.str.findall(self.word_re)
+        n_words = words.map(len).clip(lower=1)
+        stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in _STOPWORDS))
+        stop_ratio = stop / n_words
+        mean_wl = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        batch["q_len"] = length.astype("int64")
+        batch["q_punct_ratio"] = punct.astype("float64")
+        batch["q_stop_ratio"] = stop_ratio.astype("float64")
+        batch["q_mean_wordlen"] = mean_wl.astype("float64")
+        # composite score in [0,1]: long enough, some stopwords, sane word len
+        score = (
+            np.clip(length / 500.0, 0, 1) * 0.4
+            + np.clip(stop_ratio / 0.4, 0, 1) * 0.4
+            + np.clip(1 - np.abs(mean_wl - 4.5) / 4.5, 0, 1) * 0.2
+        )
+        batch["quality"] = score.astype("float64")
+        return batch
+
+
+# whitespace tokens plus a BPE-ish sub-token regex (GPT-2-style pieces)
+_BPE_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+(?!\S)|\s+")
+
+
+class TokenCount:
+    """Adds ``n_ws_tokens`` (whitespace) and ``n_bpe_tokens`` (regex-piece)
+    counts per document."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        batch["n_ws_tokens"] = s.str.split().map(len).astype("int64")
+        batch["n_bpe_tokens"] = s.map(lambda t: len(_BPE_RE.findall(t))).astype("int64")
+        return batch
+
+
+class Fingerprint:
+    """Rolling-hash (Rabin-Karp) document fingerprint: min-hash of all k-length
+    window hashes → stable ``fingerprint`` int64 (good for winnowing-style
+    near-dup grouping)."""
+
+    B = 1_000_003
+    M = (1 << 61) - 1
+
+    def __init__(self, text_col: str = "text", k: int = 16):
+        self.text_col = text_col
+        self.k = k
+        self.bk = pow(self.B, k - 1, self.M)
+
+    def fingerprint(self, text: str) -> int:
+        """Vectorized: window hashes = sliding windows of utf-8 bytes dotted
+        with base powers (mod 2^64 wraparound), fingerprint = min."""
+        if not text:
+            return 0
+        s = " ".join(text.split()).lower()
+        k = self.k
+        codes = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(codes) < k:
+            codes = np.pad(codes, (0, k - len(codes)), constant_values=32)
+        win = np.lib.stride_tricks.sliding_window_view(codes, k)
+        powers = np.empty(k, np.uint64)
+        powers[0] = 1
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * np.uint64(self.B)
+        with np.errstate(over="ignore"):
+            h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        return int(h.min())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        fps = [self.fingerprint(t) % (1 << 62) for t in texts]
+        return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
+
+
+class TextAnalyzer:
+    """FUSED analysis stage: language-ID + quality + token counts +
+    fingerprint in ONE actor pool / one pandas pass per batch.
+
+    Why fused: four chained actor pools each reserving a CPU can starve the
+    upstream read stage on a small node (pool CPUs ≥ session CPUs ⇒ the
+    pipeline stalls). One pool also avoids three extra Arrow↔pandas
+    conversions and three object-store hops per batch."""
+
+    def __init__(self, text_col: str = "text"):
+        self.lang = LanguageId(text_col)
+        self.quality = QualityScore(text_col)
+        self.tokens = TokenCount(text_col)
+        self.fp = Fingerprint(text_col)
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col]
+        preds, scores = [], []
+        for t in texts:
+            p, s = self.lang.classify(t)
+            preds.append(p)
+            scores.append(s)
+        batch["lang_pred"] = pd.Series(preds, index=batch.index, dtype="object")
+        batch["lang_score"] = pd.Series(scores, index=batch.index, dtype="float32")
+        batch = self.quality(batch)
+        batch = self.tokens(batch)
+        batch["fingerprint"] = texts.map(
+            lambda t: self.fp.fingerprint(t) % (1 << 62)
+        ).astype("int64")
+        return batch
+
+
+def analyze(ds, text_col: str = "text", concurrency: int | None = None):
+    """Language-ID → quality → token counts → fingerprint as ONE fused
+    actor-pool stage (see TextAnalyzer for why)."""
+    return ds.map_batches(
+        TextAnalyzer,
+        batch_format="pandas",
+        fn_constructor_kwargs={"text_col": text_col},
+        concurrency=concurrency or 2,
+        num_cpus=1,
+    )
