@@ -33,27 +33,34 @@ def _content_hash(texts: np.ndarray) -> np.ndarray:
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int = 128):
     """Keep exactly one row (min id) per distinct text value.
 
-    hash-partition + per-group first — SURVEY §2.9. The groupby key is the
-    64-bit content hash (uniform, skew-free); collisions are broken by
-    comparing the actual text inside the group."""
+    hash-partition + per-group first — SURVEY §2.9. The shuffle key is a
+    COARSE bucket of the 64-bit content hash (``num_buckets`` groups, uniform
+    → skew-free) rather than the hash itself: one map_groups task per bucket
+    with a vectorized pandas groupby inside, instead of one Python call per
+    distinct value. num_buckets ≈ 4× cluster cores."""
 
-    def add_hash(t: pa.Table) -> pa.Table:
+    def add_bucket(t: pa.Table) -> pa.Table:
         h = _content_hash(t.column(text_col).to_numpy(zero_copy_only=False))
-        return t.append_column("_h", pa.array(h.astype(np.int64)))
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        # within one hash bucket: min id per distinct text (collision-safe)
-        idx = g.groupby(text_col, sort=False)[id_col].idxmin()
-        return g.loc[idx]
+    def keep_first(g: pa.Table) -> pa.Table:
+        # within one coarse bucket: min id per distinct text (collision-safe);
+        # pyarrow in/out (pandas map_groups output path is slow in Ray 2.49)
+        df = g.to_pandas()
+        idx = df.groupby(text_col, sort=False)[id_col].idxmin()
+        return pa.Table.from_pandas(df.loc[idx], preserve_index=False)
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_h")
-        .map_groups(keep_first, batch_format="pandas")
-        .drop_columns(["_h"])
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(keep_first, batch_format="pyarrow")
+        .drop_columns(["_b"])
     )
 
 
@@ -174,6 +181,8 @@ def minhash_lsh_dedup(
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
 
+    num_buckets = 256  # coarse shuffle groups (≈4-8× cluster cores)
+
     def sign_and_band(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
         texts = t.column(text_col).to_pylist()
@@ -188,26 +197,34 @@ def minhash_lsh_dedup(
                 out_band.append(b)
                 out_key.append(key)
                 out_id.append(ids[i])
+        keys = np.asarray(out_key, np.uint64)
+        bkt = ((keys ^ (np.asarray(out_band, np.uint64) << np.uint64(56)))
+               % np.uint64(num_buckets)).astype(np.int32)
         return pa.table(
             {
+                "_bkt": pa.array(bkt),
                 "band": pa.array(out_band, pa.int32()),
                 "key": pa.array(out_key, pa.int64()),
                 id_col: pa.array(out_id),
             }
         )
 
-    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        lo = ids[0]
-        return pd.DataFrame({"a": [lo] * (len(ids) - 1), "b": ids[1:]})
+    def bucket_edges(g: pa.Table) -> pa.Table:
+        # one coarse bucket holds MANY (band,key) LSH buckets → one vectorized
+        # pandas groupby inside; pyarrow in/out (the pandas OUTPUT path of
+        # map_groups is pathologically slow in Ray 2.49 — measured 46s vs 1s)
+        df = g.to_pandas()
+        first = df.groupby(["band", "key"], sort=False)[id_col].transform("min")
+        mask = (df[id_col] != first).to_numpy()
+        return pa.table(
+            {"a": pa.array(first.to_numpy()[mask]), "b": pa.array(df[id_col].to_numpy()[mask])}
+        )
 
-    pairs = (
-        ds.map_batches(sign_and_band, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "key"])
-        .map_groups(bucket_edges, batch_format="pandas")
-    )
+    signed = ds.map_batches(
+        sign_and_band, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # (bucket, band, key, id) only — tiny vs the corpus; a
+    # streaming input degrades the sort shuffle to a single task
+    pairs = signed.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
     edges = _collect_edges(pairs)
 
     # verify candidates with true n-gram Jaccard (fetch texts of candidates)
@@ -231,9 +248,17 @@ def minhash_lsh_dedup(
             collect_cand, batch_format="pyarrow", zero_copy_batch=True
         ).take_all():
             texts[row[id_col]] = row[text_col]
+        # shingle each candidate text ONCE (an id can appear in many edges)
+        shingle_sets = {
+            i: set(_shingle_hashes(t, shingle_k).tolist()) if t is not None else set()
+            for i, t in texts.items()
+        }
         uf = _UnionFind()
         for e in edges:
-            ja = ngram_jaccard(texts.get(e["a"]), texts.get(e["b"]), k=shingle_k)
+            sa = shingle_sets.get(e["a"], set())
+            sb = shingle_sets.get(e["b"], set())
+            union = len(sa | sb)
+            ja = (len(sa & sb) / union) if union else 1.0
             if ja >= jaccard_threshold:
                 uf.union(e["a"], e["b"])
         drop = {x for x in uf.parent if uf.find(x) != x}
@@ -287,6 +312,8 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
     within hamming ≤3 shares at least one exact 16-bit band), verify hamming
     within buckets, drop non-representatives."""
 
+    num_buckets = 256
+
     def sign(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
         texts = t.column(text_col).to_pylist()
@@ -298,8 +325,11 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
                 rows_key.append((sh >> (16 * b)) & 0xFFFF)
                 rows_id.append(ids[i])
                 rows_sig.append(sh - (1 << 63))  # store as signed int64
+        bkt = ((np.asarray(rows_key, np.int64) * 4 + np.asarray(rows_band, np.int64))
+               % num_buckets).astype(np.int32)
         return pa.table(
             {
+                "_bkt": pa.array(bkt),
                 "band": pa.array(rows_band, pa.int32()),
                 "key": pa.array(rows_key, pa.int32()),
                 id_col: pa.array(rows_id),
@@ -307,25 +337,26 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
             }
         )
 
-    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        g = g.sort_values(id_col)
-        sigs = (g["sig"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
-        ids = g[id_col].tolist()
+    def bucket_edges(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
         a_out, b_out = [], []
-        base_sig = sigs[0]
-        for i in range(1, len(ids)):
-            if bin(int(base_sig ^ sigs[i])).count("1") <= max_hamming:
+        for (_, _), grp in df.groupby(["band", "key"], sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_col)
+            sigs = (grp["sig"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
+            ids = grp[id_col].tolist()
+            diff = sigs[0] ^ sigs[1:]
+            ham = np.array([bin(int(d)).count("1") for d in diff])
+            for i in np.nonzero(ham <= max_hamming)[0]:
                 a_out.append(ids[0])
-                b_out.append(ids[i])
-        return pd.DataFrame({"a": a_out, "b": b_out})
+                b_out.append(ids[i + 1])
+        return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
 
-    pairs = (
-        ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "key"])
-        .map_groups(bucket_edges, batch_format="pandas")
-    )
+    signed = ds.map_batches(
+        sign, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # signature table only — tiny vs the corpus
+    pairs = signed.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
     edges = _collect_edges(pairs)
     uf = _UnionFind()
     for e in edges:
@@ -376,6 +407,7 @@ def embedding_dedup(
             keys |= bits[:, j].astype(np.int64) << j
         out = pa.table(
             {
+                "_bkt": pa.array((keys % 256).astype(np.int32)),
                 "key": pa.array(keys, pa.int64()),
                 id_col: t.column(id_col),
                 vec_col: t.column(vec_col),
@@ -383,30 +415,31 @@ def embedding_dedup(
         )
         return out
 
-    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        g = g.sort_values(id_col)
-        vecs = np.stack(g[vec_col].to_numpy()).astype(np.float32)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms
-        sims = unit @ unit.T
-        ids = g[id_col].tolist()
+    def bucket_edges(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
         a_out, b_out = [], []
-        n = len(ids)
-        iu, ju = np.triu_indices(n, k=1)
-        hit = sims[iu, ju] >= cosine_threshold
-        for i, j in zip(iu[hit], ju[hit]):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-        return pd.DataFrame({"a": a_out, "b": b_out})
+        for _, grp in df.groupby("key", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_col)
+            vecs = np.stack(grp[vec_col].to_numpy()).astype(np.float32)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms
+            sims = unit @ unit.T
+            ids = grp[id_col].tolist()
+            n = len(ids)
+            iu, ju = np.triu_indices(n, k=1)
+            hit = sims[iu, ju] >= cosine_threshold
+            for i, j in zip(iu[hit], ju[hit]):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
 
-    pairs = (
-        ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("key")
-        .map_groups(bucket_edges, batch_format="pandas")
-    )
+    signed = ds.map_batches(
+        sign, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # signature table only — tiny vs the corpus
+    pairs = signed.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
     edges = _collect_edges(pairs)
     uf = _UnionFind()
     for e in edges:
