@@ -141,3 +141,49 @@ class InvokeHttp(Directive):
             "invoke-http: no network access in this environment; use the "
             "actor-pool HTTP stage (wrangler_ray/stages) in production"
         )
+
+
+# ---------------------------------------------------------------------------
+# data-model mapping (reference directives/datamodel/DataModelMapColumn.java:57+
+# loads a model glossary over HTTP via datamodel/HTTPSchemaLoader — here the
+# glossary is registered driver-side, same broadcast pattern as lookups)
+# ---------------------------------------------------------------------------
+
+_DATA_MODELS: dict[str, dict[str, str]] = {}
+
+
+def register_data_model(name: str, glossary: dict[str, str]) -> None:
+    """Register a data-model glossary: {source-column-name: target-field}."""
+    _DATA_MODELS[name] = dict(glossary)
+
+
+@directive("data-model-map-column")
+class DataModelMapColumn(Directive):
+    """data-model-map-column 'model' :col 'target' — rename a column to its
+    data-model target name (reference datamodel/DataModelMapColumn.java; the
+    glossary must be registered with ``register_data_model``; unknown target
+    → DirectiveError, matching the reference's validation)."""
+
+    usage = "data-model-map-column 'model' :col 'target-field'"
+
+    def __init__(self, call):
+        self.model = call.text(0)
+        self.column = call.col(1)
+        self.target = call.text(2)
+        glossary = _DATA_MODELS.get(self.model)
+        if glossary is None:
+            raise DirectiveError(
+                f"data-model-map-column: model '{self.model}' not registered"
+            )
+        if self.target not in glossary.values() and self.target not in glossary:
+            raise DirectiveError(
+                f"data-model-map-column: '{self.target}' not in model '{self.model}'"
+            )
+        self.mapped = glossary.get(self.target, self.target)
+
+    def apply(self, table, ctx):
+        src = resolve_column(table, self.column)
+        if src is None:
+            return self.ok(table)
+        names = [self.mapped if n == src else n for n in table.column_names]
+        return self.ok(table.rename_columns(names))

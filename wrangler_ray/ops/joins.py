@@ -1,0 +1,135 @@
+"""Join strategies (the reference has only point lookups —
+directives/lookup/*.java; a distributed engine needs real joins).
+
+Strategy selection mirrors a distributed SQL planner:
+- **broadcast_join**: small side shipped once via ``ray.put`` (read per actor
+  / task, NOT per batch), probe vectorized with a pyarrow hash join per
+  batch. No shuffle. Use when one side fits in worker memory.
+- **hash_join**: both sides large → Ray Data's native hash-partitioned join
+  (``Dataset.join``), an explicit all-to-all exchange; num_partitions sized
+  by the caller to ≥ 2× cluster cores.
+- **asof_join**: sort-merge within co-partitioned key buckets
+  (``pd.merge_asof`` per group) — for event-time enrichment.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(
+    ds,
+    small: pa.Table,
+    on: str,
+    right_on: Optional[str] = None,
+    how: str = "left",
+    suffix: str = "_r",
+):
+    """Broadcast-hash join: ``small`` is put in the object store once;
+    every task fetches it once and probes per batch with a pyarrow join."""
+    import ray
+
+    right_on = right_on or on
+    small_ref = ray.put(small)
+
+    class Probe:
+        def __init__(self):
+            t = ray.get(small_ref)
+            # pre-rename collision columns once per actor
+            renames = {}
+            for c in t.column_names:
+                if c != right_on and c in set(t.column_names):
+                    renames[c] = c
+            self.small = t
+            self.right_on = right_on
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            right = self.small
+            overlap = (set(batch.column_names) & set(right.column_names)) - {self.right_on}
+            if overlap:
+                right = right.rename_columns(
+                    [c + suffix if c in overlap else c for c in right.column_names]
+                )
+            return batch.join(
+                right, keys=[on], right_keys=[self.right_on], join_type=how + " outer"
+                if how in ("left", "right", "full") else how,
+            )
+
+    return ds.map_batches(Probe, batch_format="pyarrow", zero_copy_batch=True, concurrency=4)
+
+
+def hash_join(
+    left,
+    right,
+    on,
+    right_on=None,
+    how: str = "inner",
+    num_partitions: int = 64,
+):
+    """Large-large join → Ray Data's hash-partitioned join operator
+    (explicit shuffle; both sides exchanged once)."""
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = (right_on,) if isinstance(right_on, str) else (
+        tuple(right_on) if right_on else None
+    )
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+        left_suffix="",
+        right_suffix="_r",
+    )
+
+
+def asof_join(
+    left,
+    right,
+    key: str,
+    ts_col: str,
+    num_buckets: int = 64,
+    direction: str = "backward",
+):
+    """As-of join: co-partition both sides by key-hash bucket, sort within
+    bucket, ``pd.merge_asof`` per bucket (SURVEY §2.7 — reference has no
+    such operator; partitioning assumption: all rows of one key land in one
+    bucket)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(k.astype(object)) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("_jb", pa.array(b))
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("_side", pa.array([side] * t.num_rows))
+
+        return fn
+
+    lt = left.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        tag("l"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    rt = right.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        tag("r"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = lt.union(rt).materialize()
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        l = df[df["_side"] == "l"].drop(columns=["_side", "_jb"]).sort_values(ts_col)
+        r = df[df["_side"] == "r"].drop(columns=["_side", "_jb"]).sort_values(ts_col)
+        if len(l) == 0:
+            return pa.table({})
+        merged = pd.merge_asof(
+            l, r, on=ts_col, by=key, direction=direction, suffixes=("", "_r")
+        )
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    return both.groupby("_jb").map_groups(merge_bucket, batch_format="pyarrow")

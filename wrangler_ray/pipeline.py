@@ -167,3 +167,37 @@ def apply_recipe_table(
     directives = compile_recipe(recipe, environment)
     chain = DirectiveChain(directives, on_error="tag", environment=environment)
     return chain.transform(table)
+
+
+def collect_global_variables(ds, recipe, environment=None) -> dict:
+    """Run the chain for its TRANSIENT-VARIABLE side effects and merge the
+    GLOBAL scope across batches (reference TransientStore GLOBAL semantics,
+    wrangler-api/.../TransientStore.java:27-64: per-task totals; here each
+    batch emits its partial variables and numeric partials are summed —
+    the §2.12 'per-batch partials + final reduce' mapping)."""
+    import json as _json
+
+    directives = compile_recipe(recipe, environment)
+    chain = DirectiveChain(directives, on_error="skip", environment=environment)
+
+    def run_batch(batch: pa.Table) -> pa.Table:
+        ctx = DirectiveContext(chain.environment)
+        ok = batch
+        for d in chain.directives:
+            if ok.num_rows == 0:
+                break
+            ok, _err = d.apply(ok, ctx)
+        return pa.table(
+            {"vars": pa.array([_json.dumps(ctx.variables, default=str)], pa.string())}
+        )
+
+    merged: dict = {}
+    for row in ds.map_batches(
+        run_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all():
+        for k, v in _json.loads(row["vars"]).items():
+            if isinstance(v, (int, float)) and isinstance(merged.get(k), (int, float)):
+                merged[k] = merged[k] + v
+            else:
+                merged.setdefault(k, v)
+    return merged
