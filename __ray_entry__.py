@@ -96,6 +96,39 @@ def _run_cdc(sf_dir: str, recipe=None):
     return out.rename_columns(names)
 
 
+def _run_cdc_evolved(sf_dir: str):
+    """Additive schema evolution: even-lsn events arrive from a NEWER producer
+    whose segments carry an extra column ``note``; odd-lsn segments lack it.
+    The merge null-backfills ``note`` for rows last written by old-schema
+    events (wrangler_ray.core.schema unification)."""
+    from wrangler_ray.cdc.engine import CdcTable
+
+    changes = _derive_changes(sf_dir)
+    idx = pc.sort_indices(changes, sort_keys=[("lsn", "ascending")])
+    changes = changes.take(idx)
+    lsn = changes.column("lsn")
+    even = pc.equal(pc.bit_wise_and(lsn, 1), 0)
+    new_schema = changes.filter(even)
+    lsn_np = new_schema.column("lsn").to_numpy(zero_copy_only=False).astype(np.int64)
+    note = pa.array(["n" + str(v) for v in (lsn_np % 100)], pa.string())
+    new_schema = new_schema.append_column("note", note)
+    old_schema = changes.filter(pc.invert(even))
+
+    workdir = tempfile.mkdtemp(prefix="wr_cdc_evo_")
+    seg_dir = os.path.join(workdir, "segments")
+    os.makedirs(seg_dir)
+    segs = []
+    for i, part in enumerate((old_schema, new_schema)):
+        p = os.path.join(seg_dir, f"segment-{i:03d}.parquet")
+        pq.write_table(part, p)
+        segs.append(p)
+    table = CdcTable(os.path.join(workdir, "lake"), num_partitions=16)
+    table.apply_changes(segs)
+    out = table.read_arrow(drop_internal=False)
+    names = ["lsn" if c == "_lsn" else c for c in out.column_names]
+    return out.rename_columns(names)
+
+
 def entry() -> Any:
     """Flagship: CDC apply at sf0.001 with an in-flight directive chain."""
     sf_dir = "/root/testdata/sf0.001"
@@ -300,6 +333,143 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def cdc_replay_events(sf_dir):
         return _run_cdc(sf_dir)
 
+    def cdc_inflight_recipe(sf_dir):
+        # north-star shape: directive chain applied in-flight before the merge
+        # (uppercase on the merge KEY also proves the chain runs pre-partition)
+        return _run_cdc(sf_dir, recipe=["hash :text 'MD5' true", "uppercase :conv_id"])
+
+    def cdc_schema_evolution(sf_dir):
+        return _run_cdc_evolved(sf_dir)
+
+    def hash_join_orders_customer(sf_dir):
+        from wrangler_ray.ops.joins import hash_join
+
+        out = hash_join(
+            _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+            _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]),
+            on="o_custkey",
+            right_on="c_custkey",
+            how="inner",
+            num_partitions=16,
+        )
+        t = pa.concat_tables(
+            out.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        keep = ["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"]
+        return t.select([c for c in keep if c in t.column_names])
+
+    def broadcast_join_supplier_nation(sf_dir):
+        from wrangler_ray.ops.joins import broadcast_join
+
+        nation = pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey", "n_name"],
+        )
+        out = broadcast_join(
+            _read(sf_dir, "supplier"),
+            nation,
+            on="s_nationkey",
+            right_on="n_nationkey",
+            how="left",
+        )
+        t = pa.concat_tables(out.iter_batches(batch_format="pyarrow", batch_size=None))
+        keep = ["s_suppkey", "s_name", "s_acctbal", "n_name"]
+        return t.select([c for c in keep if c in t.column_names])
+
+    def asof_join_events_orders(sf_dir):
+        from wrangler_ray.ops.joins import asof_join
+
+        ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+        orders = _read(
+            sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+        )
+
+        def dedup_right(t: pa.Table) -> pa.Table:
+            # one order per (user_id, ts): max o_orderkey — keeps the as-of
+            # tie-break deterministic on both sides of the comparison
+            t = t.rename_columns(
+                ["o_orderkey", "user_id", "ts", "o_totalprice"]
+            )
+            return t
+
+        orders = orders.map_batches(dedup_right, batch_format="pyarrow", zero_copy_batch=True)
+        out = asof_join(ev, orders, key="user_id", ts_col="ts", num_buckets=16)
+        t = pa.concat_tables(out.iter_batches(batch_format="pyarrow", batch_size=None))
+        t = t.filter(pc.is_valid(t.column("o_orderkey")))
+        for c in ("o_orderkey", "event_id"):  # float64 via union null-backfill
+            t = t.set_column(
+                t.column_names.index(c), c, pc.cast(t.column(c), pa.int64())
+            )
+        return t.select(["event_id", "user_id", "ts", "o_orderkey", "o_totalprice"])
+
+    def window_hourly_events(sf_dir):
+        from ray.data.aggregate import Count, Sum
+
+        from wrangler_ray.ops.window import tumbling_window
+
+        out = tumbling_window(
+            _read(sf_dir, "events", columns=["event_type", "ts", "value"]),
+            ts_col="ts",
+            key_cols=["event_type"],
+            aggs=[Count(alias_name="n"), Sum("value", alias_name="sum_value")],
+            every="1 hour",
+        )
+        t = pa.concat_tables(out.iter_batches(batch_format="pyarrow", batch_size=None))
+        return _round_cols(t, {"sum_value": 3})
+
+    def sessionize_events(sf_dir):
+        from wrangler_ray.ops.window import session_stats
+
+        out = session_stats(
+            _read(sf_dir, "events", columns=["user_id", "ts"]),
+            key_col="user_id",
+            ts_col="ts",
+            gap="30 minute",
+        )
+        return pa.concat_tables(out.iter_batches(batch_format="pyarrow", batch_size=None))
+
+    def date_format_orders(sf_dir):
+        ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+        return apply_recipe(ds, ["format-date :o_orderdate 'yyyy-MM-dd'"])
+
+    def settype_merge_nation(sf_dir):
+        ds = _read(sf_dir, "nation")
+        return apply_recipe(
+            ds,
+            [
+                "set-type :n_regionkey string",
+                "merge :n_name :n_regionkey :tag '-'",
+            ],
+        )
+
+    def extract_regex_part(sf_dir):
+        ds = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+        return apply_recipe(ds, ["extract-regex-groups :p_type '(..)(.*)'"])
+
+    def profile_documents(sf_dir):
+        from wrangler_ray.ops.profile import profile_table
+
+        t = profile_table(_read(sf_dir, "documents"))
+        return _round_cols(t, {"null_pct": 4, "non_null_pct": 4})
+
+    def dedup_ngram_docs(sf_dir):
+        from wrangler_ray.ops.dedup import ngram_jaccard_dedup
+
+        return ngram_jaccard_dedup(_read(sf_dir, "documents"), jaccard_threshold=0.8)
+
+    def similarity_ivf_topk(sf_dir):
+        from wrangler_ray.ops.similarity import ivf_topk
+
+        emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        q = np.asarray(emb.column("embedding").to_pylist()[0], np.float32)[None, :]
+        out = ivf_topk(_read(sf_dir, "embeddings"), q, k=5)
+        return _round_cols(out.drop_columns(["query_idx"]), {"score": 3})
+
+    def sample_reservoir_docs(sf_dir):
+        from wrangler_ray.ops.sampling import reservoir
+
+        return reservoir(_read(sf_dir, "documents"), k=100, seed=42)
+
     return {
         "directive_chain_docs": directive_chain_docs,
         "mask_hash_customer": mask_hash_customer,
@@ -319,6 +489,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis_docs": text_analysis_docs,
         "multimodal_images": multimodal_images,
         "cdc_replay_events": cdc_replay_events,
+        "cdc_inflight_recipe": cdc_inflight_recipe,
+        "cdc_schema_evolution": cdc_schema_evolution,
+        "hash_join_orders_customer": hash_join_orders_customer,
+        "broadcast_join_supplier_nation": broadcast_join_supplier_nation,
+        "asof_join_events_orders": asof_join_events_orders,
+        "window_hourly_events": window_hourly_events,
+        "sessionize_events": sessionize_events,
+        "date_format_orders": date_format_orders,
+        "settype_merge_nation": settype_merge_nation,
+        "extract_regex_part": extract_regex_part,
+        "profile_documents": profile_documents,
+        "dedup_ngram_docs": dedup_ngram_docs,
+        "similarity_ivf_topk": similarity_ivf_topk,
+        "sample_reservoir_docs": sample_reservoir_docs,
     }
 
 
@@ -428,7 +612,138 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND op <> 'D'
         """,
+        "cdc_inflight_recipe": """
+            WITH changes AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN value < 5 THEN 'D' ELSE 'U' END AS op,
+                       'conv-' || CAST(user_id % 500 AS VARCHAR) AS conv_id,
+                       CAST(event_id % 20 AS INTEGER) AS turn_idx,
+                       props AS text,
+                       ts
+                FROM events
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY conv_id, turn_idx
+                                          ORDER BY lsn DESC) AS rn
+                FROM changes
+            )
+            SELECT upper(conv_id) AS conv_id, turn_idx, md5(text) AS text, ts, lsn
+            FROM ranked
+            WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_schema_evolution": """
+            WITH changes AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN value < 5 THEN 'D' ELSE 'U' END AS op,
+                       'conv-' || CAST(user_id % 500 AS VARCHAR) AS conv_id,
+                       CAST(event_id % 20 AS INTEGER) AS turn_idx,
+                       props AS text,
+                       ts,
+                       CASE WHEN event_id % 2 = 0
+                            THEN 'n' || CAST(event_id % 100 AS VARCHAR) END AS note
+                FROM events
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY conv_id, turn_idx
+                                          ORDER BY lsn DESC) AS rn
+                FROM changes
+            )
+            SELECT conv_id, turn_idx, text, ts, note, lsn
+            FROM ranked
+            WHERE rn = 1 AND op <> 'D'
+        """,
+        "hash_join_orders_customer": """
+            SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "broadcast_join_supplier_nation": """
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "asof_join_events_orders": """
+            WITH o AS (
+                SELECT user_id, ts, o_orderkey, o_totalprice
+                FROM (
+                    SELECT o_custkey AS user_id, o_orderdate AS ts,
+                           o_orderkey, o_totalprice,
+                           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                              ORDER BY o_orderkey DESC) AS rn
+                    FROM orders
+                )
+                WHERE rn = 1
+            )
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+            FROM events e ASOF JOIN o
+              ON e.user_id = o.user_id AND e.ts >= o.ts
+        """,
+        "window_hourly_events": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   count(*) AS n,
+                   round(sum(value), 3) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "sessionize_events": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            )
+            SELECT user_id,
+                   count(*) AS n_events,
+                   CAST(sum(CASE WHEN prev IS NULL
+                             OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM d
+            GROUP BY user_id
+        """,
+        "date_format_orders": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+            FROM orders
+        """,
+        "settype_merge_nation": """
+            SELECT n_nationkey, n_name,
+                   CAST(n_regionkey AS VARCHAR) AS n_regionkey,
+                   n_name || '-' || CAST(n_regionkey AS VARCHAR) AS tag
+            FROM nation
+        """,
+        "extract_regex_part": """
+            SELECT p_partkey, p_type,
+                   regexp_extract(p_type, '(..)(.*)', 1) AS p_type_1,
+                   regexp_extract(p_type, '(..)(.*)', 2) AS p_type_2
+            FROM part
+        """,
+        "profile_documents": """
+            SELECT 'doc_id' AS "column",
+                   round(100.0 * sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) / count(*), 4) AS null_pct,
+                   round(100.0 * sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS non_null_pct
+            FROM documents
+            UNION ALL
+            SELECT 'lang',
+                   round(100.0 * sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) / count(*), 4),
+                   round(100.0 * sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars',
+                   round(100.0 * sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) / count(*), 4),
+                   round(100.0 * sum(CASE WHEN n_chars IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4)
+            FROM documents
+            UNION ALL
+            SELECT 'source',
+                   round(100.0 * sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) / count(*), 4),
+                   round(100.0 * sum(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4)
+            FROM documents
+            UNION ALL
+            SELECT 'text',
+                   round(100.0 * sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) / count(*), 4),
+                   round(100.0 * sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4)
+            FROM documents
+        """,
         # rows-only (non-SQL-expressible): dedup_minhash_docs,
-        # dedup_simhash_docs, dedup_embedding_vecs, similarity_lsh_topk,
-        # text_analysis_docs, multimodal_images
+        # dedup_simhash_docs, dedup_embedding_vecs, dedup_ngram_docs,
+        # similarity_lsh_topk, similarity_ivf_topk, text_analysis_docs,
+        # multimodal_images, sample_reservoir_docs
     }

@@ -1,0 +1,171 @@
+"""Windowed aggregates, sessionization, joins, IVF similarity, sources."""
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture()
+def events_ds(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(
+                [_ts(9, 0), _ts(9, 10), _ts(11, 0), _ts(11, 20), _ts(9, 5), _ts(23, 0)],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def test_tumbling_window(events_ds):
+    from ray.data.aggregate import Count, Sum
+
+    from wrangler_ray.ops.window import tumbling_window
+
+    out = (
+        tumbling_window(
+            events_ds,
+            ts_col="ts",
+            aggs=[Count(alias_name="n"), Sum("value", alias_name="s")],
+            every="1 hour",
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert list(out["n"]) == [3, 2, 1]  # 9h: 3 events, 11h: 2, 23h: 1
+    assert list(out["s"]) == [8.0, 7.0, 6.0]
+
+
+def test_sessionize(events_ds):
+    from wrangler_ray.ops.window import session_stats, sessionize
+
+    sess = sessionize(events_ds, key_col="user_id", ts_col="ts", gap="30 minute")
+    df = sess.to_pandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    # user 1: (9:00, 9:10) session 0; (11:00, 11:20) session 1
+    assert list(df[df.user_id == 1]["session_id"]) == [0, 0, 1, 1]
+    assert list(df[df.user_id == 2]["session_id"]) == [0, 1]
+
+    stats = session_stats(events_ds, gap="30 minute").to_pandas().sort_values("user_id")
+    assert list(stats["n_sessions"]) == [2, 2]
+    assert list(stats["n_events"]) == [4, 2]
+
+
+def test_asof_join_deterministic_ties(ray_session):
+    import ray.data as rd
+
+    from wrangler_ray.ops.joins import asof_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1], pa.int64()),
+                "ts": pa.array([_ts(10), _ts(12)], pa.timestamp("us")),
+            }
+        )
+    )
+    # two right rows at the SAME (k, ts): the greater payload must win
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1], pa.int64()),
+                "ts": pa.array([_ts(9), _ts(9)], pa.timestamp("us")),
+                "payload": pa.array([5, 7], pa.int64()),
+            }
+        )
+    )
+    out = asof_join(left, right, key="k", ts_col="ts", num_buckets=4).to_pandas()
+    assert sorted(out["payload"]) == [7, 7]
+
+
+def test_hash_and_broadcast_join(ray_session):
+    import ray.data as rd
+
+    from wrangler_ray.ops.joins import broadcast_join, hash_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "a": ["x", "y", "z"]})
+    )
+    right_t = pa.table({"k": pa.array([1, 2], pa.int64()), "b": ["p", "q"]})
+    bj = (
+        broadcast_join(left, right_t, on="k", how="left")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(bj["b"]) == ["p", "q", None]
+
+    hj = hash_join(
+        left, rd.from_arrow(right_t), on="k", how="inner", num_partitions=2
+    ).to_pandas()
+    assert sorted(hj["k"]) == [1, 2]
+
+
+def test_ivf_topk_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from wrangler_ray.ops.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(300, 16).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    q = vecs[:2]
+    ds = rd.from_arrow(t)
+    exact = brute_force_topk(ds, q, k=5).to_pandas()
+    approx = ivf_topk(ds, q, k=5, num_clusters=8, nprobe=4).to_pandas()
+    # recall@5 ≥ 0.8 per query with nprobe half the clusters
+    for qi in (0, 1):
+        e = set(exact[exact.query_idx == qi]["vec_id"])
+        a = set(approx[approx.query_idx == qi]["vec_id"])
+        assert len(e & a) >= 4
+
+
+def test_ngram_jaccard_dedup(ray_session):
+    import ray.data as rd
+
+    from wrangler_ray.ops.dedup import ngram_jaccard_dedup
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog!",
+        "entirely different words live in this document",
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": texts})
+    )
+    out = ngram_jaccard_dedup(ds, jaccard_threshold=0.7).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2]
+
+
+def test_detect_format(tmp_path):
+    from wrangler_ray.sources import detect_format
+
+    p = tmp_path / "x.parquet"
+    p.write_bytes(b"PAR1....")
+    assert detect_format(str(p)) == "parquet"
+    q = tmp_path / "data.bin"
+    q.write_bytes(b"PAR1....")
+    assert detect_format(str(q)) == "parquet"  # magic fallback
+    c = tmp_path / "rows"
+    c.write_bytes(b"a,b,c\n1,2,3\n")
+    assert detect_format(str(c)) == "csv"
+    j = tmp_path / "o.unknownext"
+    j.write_bytes(b'{"a": 1}')
+    assert detect_format(str(j)) == "json"

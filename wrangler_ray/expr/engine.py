@@ -138,8 +138,16 @@ def _validate(tree: ast.AST, src: str) -> None:
             raise RecipeParseError(
                 f"expression uses unsupported syntax {type(node).__name__}: {src}"
             )
-        if isinstance(node, ast.Call) and not isinstance(node.func, ast.Name):
-            raise RecipeParseError(f"only simple function calls allowed: {src}")
+        if isinstance(node, ast.Call):
+            if not isinstance(node.func, ast.Name):
+                raise RecipeParseError(f"only simple function calls allowed: {src}")
+            if node.func.id not in F.FUNCTIONS:
+                # compile-time rejection — dunders and anything outside the
+                # registered library never reach eval (which also runs with
+                # empty __builtins__ as defense in depth)
+                raise RecipeParseError(
+                    f"unknown function '{node.func.id}' in expression: {src}"
+                )
 
 
 def _truthy(v):
@@ -195,6 +203,71 @@ _HELPERS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Arrow-kernel pushdown
+# ---------------------------------------------------------------------------
+# Calls like string:length(text) over a table column would otherwise force the
+# column into a numpy OBJECT array (one Python str per row — the dominant cost
+# on wide text at scale). For functions with a pyarrow.compute equivalent the
+# call is rewritten at compile time to a synthetic variable computed per batch
+# directly on the zero-copy Arrow column.
+
+def _pd_kernels():
+    import pyarrow.compute as pc
+
+    return {
+        "string__length": lambda c: pc.utf8_length(c),
+        "strlen": lambda c: pc.utf8_length(c),
+        "dq__strlen": lambda c: pc.utf8_length(c),
+        "string__lower": lambda c: pc.utf8_lower(c),
+        "string__toLowerCase": lambda c: pc.utf8_lower(c),
+        "string__upper": lambda c: pc.utf8_upper(c),
+        "string__toUpperCase": lambda c: pc.utf8_upper(c),
+        "string__trim": lambda c: pc.utf8_trim_whitespace(c),
+        "string__contains": lambda c, pat: pc.match_substring(c, pat),
+        "string__startsWith": lambda c, pat: pc.starts_with(c, pat),
+        "string__endsWith": lambda c, pat: pc.ends_with(c, pat),
+        "math__abs": lambda c: pc.abs(c),
+        "math__floor": lambda c: pc.floor(c),
+        "math__ceil": lambda c: pc.ceil(c),
+    }
+
+
+_ARROW_PUSHDOWN: dict = {}
+
+
+class _PushdownRewriter(ast.NodeTransformer):
+    """Replace ``fn(col[, const...])`` with a synthetic variable when ``fn``
+    has an Arrow kernel; the call site's spec is recorded for per-batch
+    evaluation."""
+
+    def __init__(self, kernels: dict):
+        self.kernels = kernels
+        self.specs: list[tuple[str, str, str, tuple]] = []
+
+    def visit_Call(self, node):
+        self.generic_visit(node)
+        if (
+            isinstance(node.func, ast.Name)
+            and node.func.id in self.kernels
+            and node.args
+            and isinstance(node.args[0], ast.Name)
+            and all(isinstance(a, ast.Constant) for a in node.args[1:])
+            and not node.keywords
+        ):
+            syn = f"__wr_pd{len(self.specs)}"
+            self.specs.append(
+                (
+                    syn,
+                    node.func.id,
+                    node.args[0].id,
+                    tuple(a.value for a in node.args[1:]),
+                )
+            )
+            return ast.Name(id=syn, ctx=ast.Load())
+        return node
+
+
 class CompiledExpr:
     def __init__(self, source: str):
         self.source = source
@@ -204,21 +277,34 @@ class CompiledExpr:
         except SyntaxError as e:
             raise RecipeParseError(f"cannot parse expression '{source}': {e}") from e
         _validate(tree, source)
-        # vectorized variant
-        vtree = _Vectorize().visit(ast.parse(py, mode="eval"))
+        # vectorized variant: Arrow-kernel pushdown first, then mask rewrites
+        if not _ARROW_PUSHDOWN:
+            _ARROW_PUSHDOWN.update(_pd_kernels())
+        pd = _PushdownRewriter(_ARROW_PUSHDOWN)
+        vtree = pd.visit(ast.parse(py, mode="eval"))
+        self.pushdowns = pd.specs
+        vtree = _Vectorize().visit(vtree)
         ast.fix_missing_locations(vtree)
         self._vec_code = compile(vtree, "<expr-vec>", "eval")
         self._row_code = compile(tree, "<expr-row>", "eval")
-        # free variable names (columns / transient vars referenced)
-        self.names = sorted(
-            {
-                n.id
-                for n in ast.walk(tree)
-                if isinstance(n, ast.Name) and not isinstance(n.ctx, ast.Store)
-            }
-            - set(F.FUNCTIONS)
-            - {"True", "False", "None"}
-        )
+
+        def _free_names(t):
+            return (
+                {
+                    n.id
+                    for n in ast.walk(t)
+                    if isinstance(n, ast.Name) and not isinstance(n.ctx, ast.Store)
+                }
+                - set(F.FUNCTIONS)
+                - set(_HELPERS)
+                - {"True", "False", "None"}
+            )
+
+        # names for the row-fallback path (original tree: all columns/vars)
+        self.row_names = sorted(_free_names(tree))
+        # names the VECTORIZED path must materialize as numpy (pushed-down
+        # columns excluded — they stay zero-copy Arrow)
+        self.names = sorted(n for n in _free_names(vtree) if not n.startswith("__wr_pd"))
 
     # -- evaluation ---------------------------------------------------------
 
@@ -232,20 +318,37 @@ class CompiledExpr:
         """Evaluate over a batch. Returns a numpy array (len == num_rows) or a
         scalar (to be broadcast by the caller)."""
         n = table.num_rows
-        cols: dict[str, np.ndarray] = {}
         lower_map = {c.lower(): c for c in reversed(table.column_names)}
-        for name in self.names:
-            src = None
+
+        def _col_src(name):
             if name in table.column_names:
-                src = name
-            elif name.lower() in lower_map:
-                src = lower_map[name.lower()]
+                return name
+            return lower_map.get(name.lower())
+
+        def _materialize(name):
+            src = _col_src(name)
             if src is not None:
-                cols[name] = table.column(src).to_numpy(zero_copy_only=False)
-            elif variables and name in variables:
-                cols[name] = variables[name]
-            else:
-                cols[name] = None  # absent column → null scalar
+                return table.column(src).to_numpy(zero_copy_only=False)
+            if variables and name in variables:
+                return variables[name]
+            return None  # absent column → null scalar
+
+        cols: dict[str, np.ndarray] = {name: _materialize(name) for name in self.names}
+        # Arrow-kernel pushdowns: zero-copy on the Arrow column, no Python
+        # string materialization
+        for syn, fnkey, colname, consts in self.pushdowns:
+            src = _col_src(colname)
+            val = None
+            if src is not None:
+                try:
+                    val = _ARROW_PUSHDOWN[fnkey](table.column(src), *consts).to_numpy(
+                        zero_copy_only=False
+                    )
+                except Exception:
+                    val = None
+            if val is None:
+                val = F.FUNCTIONS[fnkey](_materialize(colname), *consts)
+            cols[syn] = val
         # vectorized attempt
         env = dict(cols)
         try:
@@ -257,7 +360,9 @@ class CompiledExpr:
             return out
         except Exception:
             pass
-        # row fallback
+        # row fallback (original, un-pushed-down expression: materialize all
+        # referenced columns)
+        cols = {name: _materialize(name) for name in self.row_names}
         results = []
         g = self._globals()
         for i in range(n):
@@ -271,7 +376,7 @@ class CompiledExpr:
         return np.array(results, dtype=object)
 
     def evaluate_row(self, row: dict):
-        env = {name: row.get(name) for name in self.names}
+        env = {name: row.get(name) for name in self.row_names}
         try:
             return eval(self._row_code, self._globals(), env)  # noqa: S307
         except Exception:

@@ -451,3 +451,26 @@ def embedding_dedup(
         return t.filter(pa.array([i not in drop for i in ids]))
 
     return ds.map_batches(remove_dups, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_jaccard_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    shingle_k: int = 5,
+):
+    """n-gram-Jaccard dedup: exact character-k-gram Jaccard is the decision
+    metric; MinHash+LSH (high-recall parameters: 128 perms × 32 bands →
+    band-collision probability ≈ j^4) only generates the candidate pairs so
+    no O(n²) comparison ever happens. Every candidate pair is verified with
+    the TRUE shingle-set Jaccard before union-find."""
+    return minhash_lsh_dedup(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        num_perm=128,
+        bands=32,
+        jaccard_threshold=jaccard_threshold,
+        shingle_k=shingle_k,
+    )

@@ -113,6 +113,8 @@ def asof_join(
 
         return fn
 
+    l_cols = list(left.columns())
+    r_cols = list(right.columns())
     lt = left.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True).map_batches(
         tag("l"), batch_format="pyarrow", zero_copy_batch=True
     )
@@ -123,10 +125,18 @@ def asof_join(
 
     def merge_bucket(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
-        l = df[df["_side"] == "l"].drop(columns=["_side", "_jb"]).sort_values(ts_col)
-        r = df[df["_side"] == "r"].drop(columns=["_side", "_jb"]).sort_values(ts_col)
+        # restrict each side to ITS columns (the union null-backfills the
+        # other side's fields; leaving them would shadow the join output)
+        l = df[df["_side"] == "l"][l_cols].sort_values(ts_col)
+        r = df[df["_side"] == "r"][r_cols]
         if len(l) == 0:
             return pa.table({})
+        # deterministic tie-break: when the right side has several rows at the
+        # SAME (key, ts), keep the lexicographically-greatest row (block order
+        # must never decide the match)
+        r = r.sort_values(list(r.columns)).drop_duplicates(
+            subset=[key, ts_col], keep="last"
+        ).sort_values(ts_col, kind="mergesort")
         merged = pd.merge_asof(
             l, r, on=ts_col, by=key, direction=direction, suffixes=("", "_r")
         )

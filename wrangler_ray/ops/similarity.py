@@ -193,3 +193,88 @@ def lsh_topk(
             "score": pa.array(out_s, pa.float32()),
         }
     )
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_clusters: int = 16,
+    nprobe: int = 4,
+    train_size: int = 2048,
+    kmeans_iters: int = 8,
+    seed: int = 7,
+):
+    """IVF (inverted-file) approximate top-k — the scale path for large
+    corpora: k-means centroids trained on a bounded driver-side sample, then
+    every batch scores ONLY vectors whose nearest centroid is among each
+    query's ``nprobe`` closest centroids. Centroids are broadcast once via
+    ``ray.put``; per-batch work is two small matmuls. Same output shape as
+    brute_force_topk."""
+    import ray
+
+    queries = np.asarray(queries, np.float32)
+
+    # --- train centroids on a sample (driver-side; bounded by train_size) ---
+    sample = ds.limit(train_size).take_all()
+    x = _normalize(np.stack([np.asarray(r[vec_col], np.float32) for r in sample]))
+    rng = np.random.RandomState(seed)
+    nc = min(num_clusters, len(x))
+    cent = x[rng.choice(len(x), size=nc, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (x @ cent.T).argmax(axis=1)  # cosine == dot on unit vectors
+        for c in range(nc):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                cent[c] = v / n if n else cent[c]
+    cent_ref = ray.put(cent)
+    qref = ray.put(queries)
+
+    q_unit = _normalize(queries)
+    probes = np.argsort(-(q_unit @ cent.T), axis=1)[:, :nprobe]
+    probe_set = {int(c) for row in probes for c in row}
+    probe_ref = ray.put(probe_set)
+
+    class IvfTopK(_BatchTopK):
+        def __init__(self):
+            super().__init__(qref, k, vec_col, id_col)
+            self.cent = ray.get(cent_ref)
+            self.probe = ray.get(probe_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return super().__call__(batch)
+            vecs = np.stack(batch.column(vec_col).to_pylist()).astype(np.float32)
+            assign = (_normalize(vecs) @ self.cent.T).argmax(axis=1)
+            mask = np.isin(assign, list(self.probe))
+            return super().__call__(batch.filter(pa.array(mask)))
+
+    partials = ds.map_batches(
+        IvfTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=4
+    )
+    heaps: dict[int, list] = {}
+    for row in partials.take_all():
+        h = heaps.setdefault(row["query_idx"], [])
+        item = (row["score"], -row[id_col])
+        if len(h) < k:
+            heapq.heappush(h, item)
+        else:
+            heapq.heappushpop(h, item)
+    out_q, out_id, out_s = [], [], []
+    for qi in sorted(heaps):
+        best = sorted(heaps[qi], key=lambda x: (-x[0], -x[1]))
+        for s, neg_id in best:
+            out_q.append(qi)
+            out_id.append(-neg_id)
+            out_s.append(s)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int32()),
+            id_col: pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float32()),
+        }
+    )

@@ -1,0 +1,89 @@
+"""Sources / sinks: thin Ray-Data-native layer over the formats the reference's
+service connectors expose (SURVEY.md §2.14 — local/HDFS files, object stores,
+databases all reduce to: bytes in a format at a path). Includes the
+format-sniffing analog of service/FileTypeDetector.java.
+
+All readers return ``ray.data.Dataset`` and accept the native Ray reader
+kwargs (``columns=``, ``override_num_blocks=``, filesystem URIs) so column
+pruning happens at the read.
+"""
+
+from __future__ import annotations
+
+import os
+
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".txt": "text",
+    ".log": "text",
+    ".avro": "avro",
+    ".xml": "text",
+}
+
+_MAGIC = [
+    (b"PAR1", "parquet"),
+    (b"Obj\x01", "avro"),
+    (b"{", "json"),
+    (b"[", "json"),
+]
+
+
+def detect_format(path: str) -> str:
+    """Sniff a file's format: extension first, magic bytes as fallback
+    (reference service/FileTypeDetector.java semantics: best-effort, 'text'
+    when unknown)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in _EXT_FORMAT:
+        return _EXT_FORMAT[ext]
+    try:
+        with open(path, "rb") as f:
+            head = f.read(8)
+        for magic, fmt in _MAGIC:
+            if head.startswith(magic):
+                return fmt
+        # heuristic: a delimiter-dense first line is CSV
+        with open(path, "rb") as f:
+            line = f.readline(4096)
+        if line.count(b",") >= 2:
+            return "csv"
+    except OSError:
+        pass
+    return "text"
+
+
+def read_any(path: str, fmt: str | None = None, **kw):
+    """Read a path with the right Ray Data reader (sniffed when fmt=None)."""
+    import ray.data as rd
+
+    fmt = fmt or detect_format(path)
+    if fmt == "parquet":
+        return rd.read_parquet(path, **kw)
+    if fmt == "csv":
+        return rd.read_csv(path, **kw)
+    if fmt == "json":
+        return rd.read_json(path, **kw)
+    if fmt == "text":
+        return rd.read_text(path, **kw)
+    if fmt == "binary":
+        return rd.read_binary_files(path, **kw)
+    if fmt == "avro":
+        raise NotImplementedError(
+            "avro container files need the 'fastavro' dependency (not in this "
+            "environment); parse-as-avro-file covers the per-cell decode path"
+        )
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def write_partitioned_parquet(ds, path: str, partition_cols=None, **kw):
+    """Resumable output layout: partitioned directories so a re-run can skip
+    finished partitions (never one giant file). For the transactional
+    manifest-commit sink, use wrangler_ray.cdc.engine.CdcTable."""
+    if partition_cols:
+        return ds.write_parquet(path, partition_cols=list(partition_cols), **kw)
+    return ds.write_parquet(path, **kw)
