@@ -133,17 +133,22 @@ class MinHasher:
         )
 
 
-def _collect_edges(ds_pairs, max_edges: int = 2_000_000) -> list[tuple]:
-    """Collect candidate edges on the driver (assumption: |edges| ≪ corpus).
-    Raises if the cap is exceeded — switch to the distributed label-propagation
-    path in that case rather than OOMing the driver."""
-    edges = ds_pairs.take_all()
-    if len(edges) > max_edges:
+def _collect_edges(ds_pairs, max_edges: int = 4_000_000) -> pd.DataFrame:
+    """Collect candidate edges on the driver as a deduplicated (a, b) frame
+    (assumption: |edges| ≪ corpus). Arrow-batch collection + vectorized
+    drop_duplicates — never per-row dict iteration. Raises if the cap is
+    exceeded — switch to the distributed label-propagation path in that case
+    rather than OOMing the driver."""
+    tabs = list(ds_pairs.iter_batches(batch_size=None, batch_format="pyarrow"))
+    t = pa.concat_tables([t for t in tabs if t.num_rows]) if tabs else None
+    if t is None or t.num_rows == 0:
+        return pd.DataFrame({"a": [], "b": []})
+    if t.num_rows > max_edges:
         raise RuntimeError(
-            f"candidate edge set too large for driver union-find ({len(edges)}); "
+            f"candidate edge set too large for driver union-find ({t.num_rows}); "
             "use label-propagation mode"
         )
-    return edges
+    return t.to_pandas().drop_duplicates(ignore_index=True)
 
 
 class _UnionFind:
@@ -173,30 +178,65 @@ def minhash_lsh_dedup(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     shingle_k: int = 5,
+    exact_margin: float = 0.12,
 ):
     """MinHash+LSH near-dup removal: shingle→minhash→band→bucket groupby→
     candidate pairs→verify Jaccard→connected components→keep min-id per
-    cluster. Returns the deduplicated Dataset."""
+    cluster. Returns the deduplicated Dataset.
+
+    Verification is two-tier so dup-heavy corpora (crawl data) stay cheap:
+    every candidate edge is scored with the vectorized MinHash Jaccard
+    ESTIMATE (mean of matching signature components — one numpy comparison
+    over all edges at once, signatures only, ~num_perm·8 bytes per doc on the
+    driver); only edges within ``±exact_margin`` of the threshold fall back
+    to TRUE shingle-set Jaccard, for which only those few texts are fetched."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
 
     num_buckets = 256  # coarse shuffle groups (≈4-8× cluster cores)
 
-    def sign_and_band(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
+    def sign(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pylist()
+        sigs = (
+            np.stack([hasher.signature(x) for x in texts])
+            if texts
+            else np.empty((0, num_perm), np.uint64)
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.astype(np.int64).ravel(), pa.int64()), num_perm
+                ),
+            }
+        )
+
+    # signatures computed ONCE, kept distributed; band keys derive from them
+    signed = ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {"_bkt": pa.array([], pa.int32()), "band": pa.array([], pa.int32()),
+                 "key": pa.array([], pa.int64()), id_col: pa.array([], t.column(id_col).type)}
+            )
+        sigs = (
+            t.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            .astype(np.uint64).reshape(n, num_perm)
+        )
+        ids = t.column(id_col)
         out_band, out_key, out_id = [], [], []
-        for i, txt in enumerate(texts):
-            sig = hasher.signature(txt)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+        for b in range(bands):
+            chunk = np.ascontiguousarray(sigs[:, b * rows_per_band : (b + 1) * rows_per_band])
+            for i in range(n):
                 key = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
+                    hashlib.blake2b(chunk[i].tobytes(), digest_size=8).digest(), "little"
                 ) >> 1
                 out_band.append(b)
                 out_key.append(key)
-                out_id.append(ids[i])
+            out_id.extend(range(n))
         keys = np.asarray(out_key, np.uint64)
         bkt = ((keys ^ (np.asarray(out_band, np.uint64) << np.uint64(56)))
                % np.uint64(num_buckets)).astype(np.int32)
@@ -204,8 +244,8 @@ def minhash_lsh_dedup(
             {
                 "_bkt": pa.array(bkt),
                 "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.int64()),
-                id_col: pa.array(out_id),
+                "key": pa.array(keys.astype(np.int64), pa.int64()),
+                id_col: ids.take(pa.array(out_id, pa.int64())),
             }
         )
 
@@ -216,59 +256,87 @@ def minhash_lsh_dedup(
         df = g.to_pandas()
         first = df.groupby(["band", "key"], sort=False)[id_col].transform("min")
         mask = (df[id_col] != first).to_numpy()
-        return pa.table(
-            {"a": pa.array(first.to_numpy()[mask]), "b": pa.array(df[id_col].to_numpy()[mask])}
-        )
+        out = pd.DataFrame(
+            {"a": first.to_numpy()[mask], "b": df[id_col].to_numpy()[mask]}
+        ).drop_duplicates()  # same pair often collides in MANY bands — ship once
+        return pa.table({"a": pa.array(out["a"]), "b": pa.array(out["b"])})
 
-    signed = ds.map_batches(
-        sign_and_band, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # (bucket, band, key, id) only — tiny vs the corpus; a
-    # streaming input degrades the sort shuffle to a single task
-    pairs = signed.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
+    banded = signed.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = banded.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
     edges = _collect_edges(pairs)
 
-    # verify candidates with true n-gram Jaccard (fetch texts of candidates)
-    cand_ids = sorted({e["a"] for e in edges} | {e["b"] for e in edges})
-    if cand_ids:
-        texts = {}
-        cand_set = set(cand_ids)
+    if len(edges):
+        a_ids = edges["a"].to_numpy()
+        b_ids = edges["b"].to_numpy()
+        cand = np.unique(np.concatenate([a_ids, b_ids]))
 
-        def collect_cand(t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).to_pylist()
-            txts = t.column(text_col).to_pylist()
-            mask = [i in cand_set for i in ids]
-            return pa.table(
-                {
-                    id_col: pa.array([i for i, m in zip(ids, mask) if m]),
-                    text_col: pa.array([x for x, m in zip(txts, mask) if m]),
-                }
+        # fetch candidate SIGNATURES (num_perm·8 bytes each, not texts),
+        # vectorized membership + matrix gather
+        def collect_sigs(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(ids, cand)))
+
+        sig_tabs = list(
+            signed.map_batches(
+                collect_sigs, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        sig_t = pa.concat_tables([t for t in sig_tabs if t.num_rows])
+        sig_ids = sig_t.column(id_col).to_numpy(zero_copy_only=False)
+        mat = (
+            sig_t.column("sig").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).reshape(len(sig_ids), num_perm)
+        )
+        order = np.argsort(sig_ids)
+        sorted_ids = sig_ids[order]
+        ia = order[np.searchsorted(sorted_ids, a_ids)]
+        ib = order[np.searchsorted(sorted_ids, b_ids)]
+        est = (mat[ia] == mat[ib]).mean(axis=1)  # unbiased Jaccard estimate
+
+        accept = est >= jaccard_threshold + exact_margin
+        borderline = (~accept) & (est >= jaccard_threshold - exact_margin)
+
+        if borderline.any():
+            # exact shingle-set Jaccard for the borderline few: fetch only
+            # those texts
+            bl = np.unique(
+                np.concatenate([a_ids[borderline], b_ids[borderline]])
             )
 
-        for row in ds.map_batches(
-            collect_cand, batch_format="pyarrow", zero_copy_batch=True
-        ).take_all():
-            texts[row[id_col]] = row[text_col]
-        # shingle each candidate text ONCE (an id can appear in many edges)
-        shingle_sets = {
-            i: set(_shingle_hashes(t, shingle_k).tolist()) if t is not None else set()
-            for i, t in texts.items()
-        }
+            def collect_texts(t: pa.Table) -> pa.Table:
+                ids = t.column(id_col).to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(np.isin(ids, bl))).select([id_col, text_col])
+
+            texts = {
+                row[id_col]: row[text_col]
+                for row in ds.map_batches(
+                    collect_texts, batch_format="pyarrow", zero_copy_batch=True
+                ).take_all()
+            }
+            shingle_sets = {
+                i: set(_shingle_hashes(t, shingle_k).tolist()) if t is not None else set()
+                for i, t in texts.items()
+            }
+            for i in np.flatnonzero(borderline):
+                s_a = shingle_sets.get(a_ids[i], set())
+                s_b = shingle_sets.get(b_ids[i], set())
+                union = len(s_a | s_b)
+                ja = (len(s_a & s_b) / union) if union else 1.0
+                if ja >= jaccard_threshold:
+                    accept[i] = True
+
         uf = _UnionFind()
-        for e in edges:
-            sa = shingle_sets.get(e["a"], set())
-            sb = shingle_sets.get(e["b"], set())
-            union = len(sa | sb)
-            ja = (len(sa & sb) / union) if union else 1.0
-            if ja >= jaccard_threshold:
-                uf.union(e["a"], e["b"])
+        for a, b in zip(a_ids[accept], b_ids[accept]):
+            uf.union(a, b)
         drop = {x for x in uf.parent if uf.find(x) != x}
     else:
         drop = set()
 
+    drop_arr = np.array(sorted(drop))
+
     def remove_dups(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        keep = pa.array([i not in drop for i in ids])
-        return t.filter(keep)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(ids, drop_arr)))
 
     return ds.map_batches(remove_dups, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -359,13 +427,13 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
     pairs = signed.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
     edges = _collect_edges(pairs)
     uf = _UnionFind()
-    for e in edges:
-        uf.union(e["a"], e["b"])
-    drop = {x for x in uf.parent if uf.find(x) != x}
+    for a, b in zip(edges["a"].to_numpy(), edges["b"].to_numpy()):
+        uf.union(a, b)
+    drop_arr = np.array(sorted(x for x in uf.parent if uf.find(x) != x))
 
     def remove_dups(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        return t.filter(pa.array([i not in drop for i in ids]))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(ids, drop_arr)))
 
     return ds.map_batches(remove_dups, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -442,13 +510,13 @@ def embedding_dedup(
     pairs = signed.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
     edges = _collect_edges(pairs)
     uf = _UnionFind()
-    for e in edges:
-        uf.union(e["a"], e["b"])
-    drop = {x for x in uf.parent if uf.find(x) != x}
+    for a, b in zip(edges["a"].to_numpy(), edges["b"].to_numpy()):
+        uf.union(a, b)
+    drop_arr = np.array(sorted(x for x in uf.parent if uf.find(x) != x))
 
     def remove_dups(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        return t.filter(pa.array([i not in drop for i in ids]))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(ids, drop_arr)))
 
     return ds.map_batches(remove_dups, batch_format="pyarrow", zero_copy_batch=True)
 

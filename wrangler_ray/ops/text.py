@@ -134,9 +134,9 @@ class Fingerprint:
         win = np.lib.stride_tricks.sliding_window_view(codes, k)
         powers = np.empty(k, np.uint64)
         powers[0] = 1
-        for i in range(1, k):
-            powers[i] = powers[i - 1] * np.uint64(self.B)
         with np.errstate(over="ignore"):
+            for i in range(1, k):
+                powers[i] = powers[i - 1] * np.uint64(self.B)  # wraps mod 2^64
             h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
         return int(h.min())
 
