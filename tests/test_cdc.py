@@ -88,19 +88,22 @@ def test_manifest_lineage_and_atomicity(tmp_path, stream, ray_session):
     # lineage: per-partition row counts + digests present
     assert m["lineage"]
     for rec in m["lineage"].values():
-        assert rec["rows"] >= 0 and len(rec["sha256"]) == 64
+        assert rec["rows"] >= 0
+        assert rec["sha256"] and all(len(h) == 64 for h in rec["sha256"])
     # manifest pointer resolves and matches
     latest = table.latest_manifest()
     assert latest["version"] == m["version"]
-    # every referenced file exists with the committed digest
+    # every referenced file exists with the committed digest (partition maps
+    # to a LIST of files — several when the partition was salted into subs)
     import hashlib
 
-    for part, rel in m["partitions"].items():
-        p = os.path.join(table.table_dir, rel)
-        assert os.path.exists(p)
-        if part in m["lineage"]:
-            h = hashlib.sha256(open(p, "rb").read()).hexdigest()
-            assert h == m["lineage"][part]["sha256"]
+    for part, rels in m["partitions"].items():
+        for i, rel in enumerate(rels):
+            p = os.path.join(table.table_dir, rel)
+            assert os.path.exists(p)
+            if part in m["lineage"]:
+                h = hashlib.sha256(open(p, "rb").read()).hexdigest()
+                assert h == m["lineage"][part]["sha256"][i]
 
 
 def test_in_flight_directive_chain(tmp_path, stream, ray_session):
@@ -116,3 +119,49 @@ def test_row_counts_in_manifest(tmp_path, stream, ray_session):
     table = _fresh_table(tmp_path, stream, ray_session)
     m = table.apply_changes(stream["segments"])
     assert m["total_rows"] == table.read_arrow().num_rows
+
+
+def test_hot_partition_salted_merge(tmp_path, ray_session, monkeypatch):
+    """A single conversation with many distinct turns must be merged by
+    several salted sub-tasks (not one straggler), and the result must still
+    match the oracle replay exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    monkeypatch.setenv("WR_CDC_SPLIT_ROWS", "500")  # force splitting
+    n = 4000
+    lsn = np.arange(1, n + 1, dtype=np.int64)
+    # 90% of events hit ONE conversation across 2000 distinct turns
+    hot = lsn % 10 != 0
+    conv = np.where(hot, "conv-hot", np.char.add("conv-", (lsn % 7).astype(str)))
+    turn = np.where(hot, lsn % 2000, lsn % 5).astype(np.int32)
+    changes = pa.table(
+        {
+            "lsn": pa.array(lsn),
+            "op": pa.array(np.where(lsn % 17 == 0, "D", "U")),
+            "conv_id": pa.array(conv.astype(object), pa.string()),
+            "turn_idx": pa.array(turn, pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array([f"t{i}" for i in lsn]),
+            "tool": pa.array([""] * n),
+        }
+    )
+    seg = str(tmp_path / "seg.parquet")
+    pq.write_table(changes, seg)
+    table = CdcTable(str(tmp_path / "lake"), num_partitions=4)
+    m = table.apply_changes([seg])
+    # the hot partition committed multiple salted sub-files
+    assert any(len(files) > 1 for files in m["partitions"].values())
+    # parity with a pandas oracle replay
+    df = changes.to_pandas().sort_values("lsn")
+    last = df.groupby(["conv_id", "turn_idx"], sort=False).tail(1)
+    expected = (
+        last[last["op"] != "D"]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    got = table.read_arrow().to_pandas().reset_index(drop=True)
+    assert len(got) == len(expected)
+    assert list(got["conv_id"]) == list(expected["conv_id"])
+    assert list(got["turn_idx"]) == list(expected["turn_idx"])
+    assert list(got["text"]) == list(expected["text"])

@@ -65,6 +65,14 @@ def _hash_partition(conv_ids: np.ndarray, num_partitions: int) -> np.ndarray:
     return (h % np.uint64(num_partitions)).astype(np.int32)
 
 
+def _turn_salt(turn_idx: np.ndarray, n_subs: int) -> np.ndarray:
+    """Deterministic sub-partition salt for HOT partitions. Salting on
+    ``turn_idx`` (not conv_id) means even a single enormous conversation
+    spreads over the subs, while every LWW group — keyed (conv_id, turn_idx)
+    — still lands wholly in one sub."""
+    return (turn_idx.astype(np.int64) % n_subs).astype(np.int32)
+
+
 def _file_digest(path: str) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as f:
@@ -135,7 +143,7 @@ class SpillWriter:
         import uuid
 
         if batch.num_rows == 0:
-            return self._index([], [], "")
+            return self._index([], [], "", [])
         conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
         parts = _hash_partition(conv, self.num_partitions)
         batch = batch.append_column(PART_COL, pa.array(parts, pa.int32()))
@@ -173,16 +181,20 @@ class SpillWriter:
                     w.write_batch(t.slice(s, e - s).to_batches()[0])
         os.replace(tmp, path)
         return self._index(
-            [int(pvals[s]) for s in starts], list(range(len(starts))), fname
+            [int(pvals[s]) for s in starts],
+            list(range(len(starts))),
+            fname,
+            [int(e - s) for s, e in zip(starts, ends)],
         )
 
     @staticmethod
-    def _index(parts: list, batch_idx: list, fname: str) -> pa.Table:
+    def _index(parts: list, batch_idx: list, fname: str, rows: list) -> pa.Table:
         return pa.table(
             {
                 "part": pa.array(parts, pa.int32()),
                 "file": pa.array([fname] * len(parts), pa.string()),
                 "batch_index": pa.array(batch_idx, pa.int32()),
+                "rows": pa.array(rows, pa.int64()),
             }
         )
 
@@ -198,18 +210,27 @@ class MergePartition:
     (shared) storage, Spark-external-shuffle style.
 
     Runs as ``map_batches(batch_size=1)`` over rows of
-    (part: int32, spills: json [[file, batch_index], ...]): reads exactly its
-    record batches from each spill via ``pa.memory_map`` (zero-copy), loads
-    the partition's current file (schemas reconciled — additive evolution
-    null-backfills), applies LWW on _lsn, drops deletes, sorts by
-    (conv_id, turn_idx) for the stable-turn-ordering invariant, writes a
-    staged file and returns ONE lineage row per partition."""
+    (part: int32, sub: int32, n_subs: int32, spills: json
+    [[file, batch_index], ...]): reads exactly its record batches from each
+    spill via ``pa.memory_map`` (zero-copy), loads the partition's current
+    file(s) (schemas reconciled — additive evolution null-backfills), applies
+    LWW on _lsn, drops deletes, sorts by (conv_id, turn_idx) for the
+    stable-turn-ordering invariant, writes a staged file and returns ONE
+    lineage row per merge task.
+
+    **Hot-partition salting**: when the exchange index shows a partition's
+    pending rows exceed the split threshold (one huge conversation, or an
+    update storm over many), the partition is merged by ``n_subs`` PARALLEL
+    tasks instead of one straggler; each task keeps only rows whose
+    deterministic ``turn_idx % n_subs`` salt matches its ``sub``, so every
+    (conv_id, turn_idx) LWW group stays whole and the subs tile the
+    partition exactly."""
 
     def __init__(
         self,
         table_dir: str,
         txn_id: str,
-        current_files: dict[int, str],
+        current_files: dict[int, list],
     ):
         self.table_dir = table_dir
         self.txn_id = txn_id
@@ -228,22 +249,36 @@ class MergePartition:
             tabs.append(pa.Table.from_batches([r.get_batch(int(bidx))]))
         return concat_reconciled(tabs)
 
+    @staticmethod
+    def _sub_filter(t: pa.Table, sub: int, n_subs: int) -> pa.Table:
+        turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_turn_salt(turn, n_subs) == sub))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for row in batch.to_pylist():
             part = int(row["part"])
-            staged = os.path.join(self.staging_dir, f"p{part:05d}.parquet")
+            sub = int(row["sub"])
+            n_subs = int(row["n_subs"])
+            name = (
+                f"p{part:05d}.parquet" if n_subs <= 1 else f"p{part:05d}-s{sub:02d}.parquet"
+            )
+            staged = os.path.join(self.staging_dir, name)
             changes = self._read_spill_batches(json.loads(row["spills"]))
+            if n_subs > 1:
+                changes = self._sub_filter(changes, sub, n_subs)
             if os.path.exists(staged):
                 # resume: already merged in a previous (crashed) attempt of
                 # the same transaction — idempotent skip.
                 meta = pq.read_metadata(staged)
-                out.append(self._lineage(part, staged, meta.num_rows, changes))
+                out.append(self._lineage(part, sub, staged, meta.num_rows, changes))
                 continue
-            cur_path = self.current_files.get(part)
             tables = [changes]
-            if cur_path is not None:
-                tables.append(pq.read_table(os.path.join(self.table_dir, cur_path)))
+            for cur_path in self.current_files.get(part, []):
+                cur = pq.read_table(os.path.join(self.table_dir, cur_path))
+                if n_subs > 1:
+                    cur = self._sub_filter(cur, sub, n_subs)
+                tables.append(cur)
             merged = _lww_reduce(concat_reconciled(tables))
             # deletes drop out ("op" is null for carried-forward rows)
             if "op" in merged.column_names:
@@ -259,14 +294,17 @@ class MergePartition:
             tmp = staged + ".tmp"
             pq.write_table(merged, tmp)
             os.replace(tmp, staged)
-            out.append(self._lineage(part, staged, merged.num_rows, changes))
+            out.append(self._lineage(part, sub, staged, merged.num_rows, changes))
         return pa.concat_tables(out)
 
-    def _lineage(self, part: int, staged: str, rows: int, changes: pa.Table) -> pa.Table:
+    def _lineage(
+        self, part: int, sub: int, staged: str, rows: int, changes: pa.Table
+    ) -> pa.Table:
         wm = pc.max(changes.column(LSN_COL)).as_py() if changes.num_rows else None
         return pa.table(
             {
                 "part": pa.array([part], pa.int32()),
+                "sub": pa.array([sub], pa.int32()),
                 "rows": pa.array([rows], pa.int64()),
                 "changes_applied": pa.array([changes.num_rows], pa.int64()),
                 "watermark_lsn": pa.array([wm], pa.int64()),
@@ -358,7 +396,12 @@ class CdcTable:
         watermark = manifest["watermark_lsn"] if manifest else 0
         parent = manifest["version"] if manifest else None
         current_files = (
-            {int(k): v for k, v in manifest["partitions"].items()} if manifest else {}
+            {
+                int(k): (v if isinstance(v, list) else [v])
+                for k, v in manifest["partitions"].items()
+            }
+            if manifest
+            else {}
         )
 
         # additive schema unification across segment footers (metadata-only
@@ -466,7 +509,7 @@ class CdcTable:
             by_part: dict[int, list] = {}
             for r in index_rows:
                 by_part.setdefault(int(r["part"]), []).append(
-                    [r["file"], int(r["batch_index"])]
+                    [r["file"], int(r["batch_index"]), int(r["rows"])]
                 )
             tmp = index_path + ".tmp"
             with open(tmp, "w") as f:
@@ -480,10 +523,19 @@ class CdcTable:
         if timing:
             print(f"WRTIME delta_write {_time.perf_counter()-_t0:.2f}", file=sys.stderr)
             _t0 = _time.perf_counter()
-        items = [
-            {"part": p, "spills": json.dumps(spills)}
-            for p, spills in sorted(by_part.items())
-        ]
+        # hot-partition detection from the index (no data read): a partition
+        # whose pending rows exceed the split threshold is merged by several
+        # salted sub-tasks instead of one straggler
+        split_rows = int(os.environ.get("WR_CDC_SPLIT_ROWS", "524288"))
+        items = []
+        for p, spills in sorted(by_part.items()):
+            pending = sum(s[2] for s in spills)
+            n_subs = min(16, max(1, -(-pending // split_rows)))
+            spills_json = json.dumps([[s[0], s[1]] for s in spills])
+            for sub in range(n_subs):
+                items.append(
+                    {"part": p, "sub": sub, "n_subs": n_subs, "spills": spills_json}
+                )
         if not items:
             return []
         merge = MergePartition(self.table_dir, txn_id, current_files=current_files)
@@ -501,23 +553,40 @@ class CdcTable:
     def _finalize(self, lineage: list[dict], txn_id: str, watermark: int, parent) -> dict:
         """Promote staged files into data/, commit the manifest atomically."""
         manifest = self.latest_manifest()
-        partitions = dict(manifest["partitions"]) if manifest else {}
-        lineage_rec = {}
+        partitions = {
+            k: (v if isinstance(v, list) else [v])
+            for k, v in (manifest["partitions"] if manifest else {}).items()
+        }
+        lineage_rec: dict = {}
+        touched: set = set()
         for r in lineage:
             part = int(r["part"])
+            sub = int(r["sub"])
             dst_dir = os.path.join(self.table_dir, "data", f"p{part:05d}")
             os.makedirs(dst_dir, exist_ok=True)
-            dst = os.path.join(dst_dir, f"{txn_id}.parquet")
+            dst = os.path.join(dst_dir, f"{txn_id}-s{sub:02d}.parquet")
             rel = os.path.relpath(dst, self.table_dir)
             if not os.path.exists(dst):
                 os.replace(r["file"], dst)
-            partitions[str(part)] = rel
-            lineage_rec[str(part)] = {
-                "rows": int(r["rows"]),
-                "changes_applied": int(r["changes_applied"]),
-                "watermark_lsn": r["watermark_lsn"],
-                "sha256": r["sha256"],
-            }
+            key = str(part)
+            if key not in touched:
+                # this txn's output REPLACES the partition's previous file set
+                partitions[key] = []
+                touched.add(key)
+            partitions[key].append(rel)
+            entry = lineage_rec.setdefault(
+                key,
+                {"rows": 0, "changes_applied": 0, "watermark_lsn": None,
+                 "sha256": [], "n_subs": 0},
+            )
+            entry["rows"] += int(r["rows"])
+            entry["changes_applied"] += int(r["changes_applied"])
+            if r["watermark_lsn"] is not None:
+                entry["watermark_lsn"] = max(
+                    entry["watermark_lsn"] or 0, r["watermark_lsn"]
+                )
+            entry["sha256"].append(r["sha256"])
+            entry["n_subs"] += 1
         new_manifest = {
             "version": (parent or 0) + 1,
             "parent": parent,
@@ -530,9 +599,10 @@ class CdcTable:
                 lr["rows"] for lr in lineage_rec.values()
             )
             + sum(
-                pq.read_metadata(os.path.join(self.table_dir, partitions[p])).num_rows
+                pq.read_metadata(os.path.join(self.table_dir, f)).num_rows
                 for p in partitions
                 if p not in lineage_rec
+                for f in partitions[p]
             ),
         }
         self._commit_manifest(new_manifest)
@@ -548,11 +618,16 @@ class CdcTable:
         m = self.latest_manifest()
         if not m:
             return []
-        return [os.path.join(self.table_dir, f) for f in m["partitions"].values()]
+        out = []
+        for v in m["partitions"].values():
+            for f in (v if isinstance(v, list) else [v]):
+                out.append(os.path.join(self.table_dir, f))
+        return out
 
     def read(self, drop_internal: bool = True):
-        """The table as a Ray Dataset (one file per partition, pre-sorted by
-        (conv_id, turn_idx) within partitions)."""
+        """The table as a Ray Dataset (one file per partition — or per salted
+        sub-partition for hot partitions — pre-sorted by (conv_id, turn_idx)
+        within each file)."""
         import ray.data as rd
 
         files = self.files()
