@@ -314,6 +314,53 @@ class MergePartition:
         )
 
 
+class _CompactPartition:
+    """One task per multi-file partition: concat the (already merged,
+    delete-free) sub-files, restore the (conv_id, turn_idx) sort, write one
+    staged file, return a lineage row (changes_applied=0 — compaction moves
+    no new data)."""
+
+    def __init__(self, table_dir: str, txn_id: str):
+        self.table_dir = table_dir
+        self.txn_id = txn_id
+        self.staging_dir = os.path.join(table_dir, "staging", txn_id)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            part = int(row["part"])
+            files = json.loads(row["files"])
+            staged = os.path.join(self.staging_dir, f"p{part:05d}.parquet")
+            if not os.path.exists(staged):
+                merged = concat_reconciled(
+                    [pq.read_table(os.path.join(self.table_dir, f)) for f in files]
+                )
+                idx = pc.sort_indices(
+                    merged,
+                    sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
+                )
+                merged = merged.take(idx)
+                os.makedirs(self.staging_dir, exist_ok=True)
+                tmp = staged + ".tmp"
+                pq.write_table(merged, tmp)
+                os.replace(tmp, staged)
+            rows = pq.read_metadata(staged).num_rows
+            out.append(
+                pa.table(
+                    {
+                        "part": pa.array([part], pa.int32()),
+                        "sub": pa.array([0], pa.int32()),
+                        "rows": pa.array([rows], pa.int64()),
+                        "changes_applied": pa.array([0], pa.int64()),
+                        "watermark_lsn": pa.array([None], pa.int64()),
+                        "file": pa.array([staged], pa.string()),
+                        "sha256": pa.array([_file_digest(staged)], pa.string()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+
 class CdcTable:
     """A partitioned Parquet lake table with manifest-based transactional
     commits (exactly-once sink, SURVEY.md §7.1 step 4).
@@ -611,6 +658,80 @@ class CdcTable:
 
         shutil.rmtree(os.path.join(self.table_dir, "staging", txn_id), ignore_errors=True)
         return new_manifest
+
+    # -- tail / compact ----------------------------------------------------
+
+    def tail(
+        self,
+        segment_dir: str,
+        pattern: str = "*.parquet",
+        window_events: Optional[int] = None,
+        recipe: Optional[Union[str, list[str]]] = None,
+    ) -> list[dict]:
+        """Tail a binlog/WAL directory: discover segment files and apply all
+        pending events, in bounded LSN windows of ~``window_events`` rows per
+        transaction (None = one transaction). Bounded windows are the
+        resumable unit at 10^10-event scale: each window commits its own
+        manifest, so a crash re-tails from the last watermark. Returns the
+        manifests committed (empty list if nothing new)."""
+        import glob as _glob
+
+        segs = sorted(_glob.glob(os.path.join(segment_dir, pattern)))
+        if not segs:
+            return []
+        if not window_events:
+            before = self.latest_manifest()
+            m = self.apply_changes(segs, recipe=recipe)
+            return [m] if m is not before else []
+        windows: list[list[str]] = [[]]
+        acc = 0
+        for p in segs:
+            rows = pq.read_metadata(p).num_rows
+            if windows[-1] and acc + rows > window_events:
+                windows.append([])
+                acc = 0
+            windows[-1].append(p)
+            acc += rows
+        out = []
+        version = self.latest_manifest()["version"] if self.latest_manifest() else None
+        for w in windows:
+            m = self.apply_changes(w, recipe=recipe)
+            if m and m["version"] != version:
+                out.append(m)
+                version = m["version"]
+        return out
+
+    def compact(self) -> dict:
+        """Merge each multi-file (salted) partition back into one file.
+        Transactional like any apply: staged files → atomic manifest commit;
+        the watermark is unchanged. Run it when read amplification from
+        hot-partition subs outweighs the write win."""
+        import ray.data as rd
+
+        m = self.latest_manifest()
+        if not m:
+            raise FileNotFoundError(f"no committed manifest in {self.table_dir}")
+        multi = {
+            p: (v if isinstance(v, list) else [v])
+            for p, v in m["partitions"].items()
+            if isinstance(v, list) and len(v) > 1
+        }
+        if not multi:
+            return m
+        txn_id = f"txn-{m['version'] + 1:08d}-compact"
+        comp = _CompactPartition(self.table_dir, txn_id)
+        items = [
+            {"part": int(p), "files": json.dumps(files)}
+            for p, files in sorted(multi.items(), key=lambda kv: int(kv[0]))
+        ]
+        lineage = (
+            rd.from_items(items, override_num_blocks=len(items))
+            .map_batches(comp, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        )
+        return self._finalize(
+            lineage, txn_id, m["watermark_lsn"], parent=m["version"]
+        )
 
     # -- read --------------------------------------------------------------
 
