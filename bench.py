@@ -231,7 +231,7 @@ def run_benchmarks() -> dict:
 
     t0 = time.perf_counter()
     n_kept = minhash_lsh_dedup(
-        rd.read_parquet(docs_cache, override_num_blocks=NUM_CPUS * 2)
+        rd.read_parquet(docs_cache, override_num_blocks=NUM_CPUS)
     ).count()
     dt = time.perf_counter() - t0
     queries["dedup_minhash"] = round(dt, 3)
@@ -239,10 +239,11 @@ def run_benchmarks() -> dict:
     extras["dedup_docs_per_sec"] = round(docs_rows / dt, 1)
     extras["dedup_kept"] = n_kept
 
+    # blocks sized so each task runs >=250ms: Ray Data's streaming executor
+    # adds ~15-45ms of scheduling per task, which dominates with tiny blocks
     t0 = time.perf_counter()
     analyze(
-        rd.read_parquet(docs_cache, override_num_blocks=NUM_CPUS * 2),
-        concurrency=max(2, NUM_CPUS // 4),
+        rd.read_parquet(docs_cache, override_num_blocks=max(8, NUM_CPUS // 2))
     ).count()
     dt = time.perf_counter() - t0
     queries["text_analysis"] = round(dt, 3)

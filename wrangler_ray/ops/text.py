@@ -179,13 +179,38 @@ class TextAnalyzer:
         return batch
 
 
+# per-worker-process singleton: TextAnalyzer's setup (regex compile, profile
+# tables) is microseconds, so spawning a dedicated actor pool per analyze()
+# call would cost far more (new processes + imports) than it saves. Tasks on
+# warm workers + a cached instance get actor-style init-once for free.
+_ANALYZERS: dict[str, TextAnalyzer] = {}
+
+
+def _analyze_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    an = _ANALYZERS.get(text_col)
+    if an is None:
+        an = _ANALYZERS[text_col] = TextAnalyzer(text_col)
+    return an(batch)
+
+
 def analyze(ds, text_col: str = "text", concurrency: int | None = None):
-    """Language-ID → quality → token counts → fingerprint as ONE fused
-    actor-pool stage (see TextAnalyzer for why)."""
+    """Language-ID → quality → token counts → fingerprint as ONE fused stage
+    (see TextAnalyzer for why). Default: task-based ``map_batches`` on warm
+    workers with a per-process analyzer singleton. Pass ``concurrency`` to
+    force a dedicated actor pool — the right shape once the stage holds
+    genuinely heavy state (a model, a big lexicon)."""
+    if concurrency:
+        return ds.map_batches(
+            TextAnalyzer,
+            batch_format="pandas",
+            fn_constructor_kwargs={"text_col": text_col},
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    import functools
+
     return ds.map_batches(
-        TextAnalyzer,
+        functools.partial(_analyze_batch, text_col=text_col),
         batch_format="pandas",
-        fn_constructor_kwargs={"text_col": text_col},
-        concurrency=concurrency or 2,
-        num_cpus=1,
+        batch_size=None,
     )
