@@ -470,6 +470,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return reservoir(_read(sf_dir, "documents"), k=100, seed=42)
 
+    def error_channel_customer(sf_dir):
+        # send-to-error diverts matching rows off the main flow (§2.6 E path);
+        # the query returns the surviving main-flow rows
+        ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+        return apply_recipe(
+            ds, ["send-to-error exp:{c_acctbal < 0} 'negative balance'"]
+        )
+
+    def write_csv_nation(sf_dir):
+        ds = _read(sf_dir, "nation")
+        return apply_recipe(ds, ["write-as-csv :row_csv"])
+
     return {
         "directive_chain_docs": directive_chain_docs,
         "mask_hash_customer": mask_hash_customer,
@@ -503,6 +515,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_docs": dedup_ngram_docs,
         "similarity_ivf_topk": similarity_ivf_topk,
         "sample_reservoir_docs": sample_reservoir_docs,
+        "error_channel_customer": error_channel_customer,
+        "write_csv_nation": write_csv_nation,
     }
 
 
@@ -741,6 +755,17 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) / count(*), 4),
                    round(100.0 * sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4)
             FROM documents
+        """,
+        "error_channel_customer": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer
+            WHERE NOT (c_acctbal < 0)
+        """,
+        "write_csv_nation": """
+            SELECT n_nationkey, n_name, n_regionkey,
+                   CAST(n_nationkey AS VARCHAR) || ',' || n_name || ',' ||
+                   CAST(n_regionkey AS VARCHAR) AS row_csv
+            FROM nation
         """,
         # rows-only (non-SQL-expressible): dedup_minhash_docs,
         # dedup_simhash_docs, dedup_embedding_vecs, dedup_ngram_docs,

@@ -194,7 +194,8 @@ def minhash_lsh_dedup(
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
 
-    num_buckets = 256  # coarse shuffle groups (≈4-8× cluster cores)
+    num_buckets = 64  # coarse shuffle groups: few enough that one group task
+    # clears the ~15-45ms/task executor overhead (see BASELINE.md task-sizing)
 
     def sign(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pylist()
@@ -380,7 +381,7 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
     within hamming ≤3 shares at least one exact 16-bit band), verify hamming
     within buckets, drop non-representatives."""
 
-    num_buckets = 256
+    num_buckets = 64
 
     def sign(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
