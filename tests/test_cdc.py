@@ -212,3 +212,13 @@ def test_tail_windows_and_compact(tmp_path, stream, ray_session, monkeypatch):
     assert m2["watermark_lsn"] == m["watermark_lsn"]
     after = table.read_arrow()
     assert before.equals(after)  # compaction changes layout, not content
+
+
+def test_time_travel_read(tmp_path, stream, ray_session):
+    table = _fresh_table(tmp_path, stream, ray_session)
+    v1 = table.apply_changes(stream["segments"][:2])["version"]
+    snap_v1 = table.read_arrow(version=v1)
+    table.apply_changes(stream["segments"])
+    # latest differs from v1, but v1 stays readable and identical
+    assert table.read_arrow(version=v1).equals(snap_v1)
+    assert table.latest_manifest()["version"] > v1

@@ -392,6 +392,16 @@ class CdcTable:
         with open(os.path.join(self.table_dir, "manifests", name)) as f:
             return json.load(f)
 
+    def manifest_at(self, version: int) -> dict:
+        """Time travel: load a specific committed manifest version (old data
+        files are never rewritten, so any committed version stays readable
+        until a retention job removes it)."""
+        path = os.path.join(self.table_dir, "manifests", f"manifest-{version:08d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no manifest version {version} in {self.table_dir}")
+        with open(path) as f:
+            return json.load(f)
+
     def _commit_manifest(self, manifest: dict) -> None:
         """Atomic: write manifest file, then atomically swap the pointer."""
         name = f"manifest-{manifest['version']:08d}.json"
@@ -735,8 +745,8 @@ class CdcTable:
 
     # -- read --------------------------------------------------------------
 
-    def files(self) -> list[str]:
-        m = self.latest_manifest()
+    def files(self, version: Optional[int] = None) -> list[str]:
+        m = self.manifest_at(version) if version is not None else self.latest_manifest()
         if not m:
             return []
         out = []
@@ -745,13 +755,14 @@ class CdcTable:
                 out.append(os.path.join(self.table_dir, f))
         return out
 
-    def read(self, drop_internal: bool = True):
+    def read(self, drop_internal: bool = True, version: Optional[int] = None):
         """The table as a Ray Dataset (one file per partition — or per salted
         sub-partition for hot partitions — pre-sorted by (conv_id, turn_idx)
-        within each file)."""
+        within each file). Pass ``version`` to time-travel to an earlier
+        committed manifest."""
         import ray.data as rd
 
-        files = self.files()
+        files = self.files(version)
         if not files:
             raise FileNotFoundError(f"no committed manifest in {self.table_dir}")
         schema = unified_schema([pq.read_schema(f) for f in files])
@@ -764,9 +775,9 @@ class CdcTable:
             )
         return ds
 
-    def read_arrow(self, drop_internal: bool = True) -> pa.Table:
+    def read_arrow(self, drop_internal: bool = True, version: Optional[int] = None) -> pa.Table:
         """Driver-side read for tests/small tables."""
-        files = self.files()
+        files = self.files(version)
         tabs = [pq.read_table(f) for f in files]
         schema = unified_schema([t.schema for t in tabs])
         out = pa.concat_tables([unify_to_schema(t, schema) for t in tabs])
