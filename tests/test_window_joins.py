@@ -169,3 +169,46 @@ def test_detect_format(tmp_path):
     j = tmp_path / "o.unknownext"
     j.write_bytes(b'{"a": 1}')
     assert detect_format(str(j)) == "json"
+
+
+def test_connected_components(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wrangler_ray.ops.cc import connected_components
+
+    # a path (1-2-3-4), a pair (10-11), a singleton edge (20-20 not present)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 2, 3, 10], pa.int64()),
+                "b": pa.array([2, 3, 4, 11], pa.int64()),
+            }
+        )
+    )
+    lab = {r["u"]: r["label"] for r in connected_components(edges).take_all()}
+    assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_minhash_distributed_matches_driver(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wrangler_ray.ops.dedup import minhash_lsh_dedup
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog!",
+        "completely different content about ray data pipelines",
+        "another unrelated document discussing arrow tables",
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+    )
+    drv = sorted(minhash_lsh_dedup(ds, jaccard_threshold=0.7).to_pandas()["doc_id"])
+    dist = sorted(
+        minhash_lsh_dedup(ds, jaccard_threshold=0.7, distributed=True)
+        .to_pandas()["doc_id"]
+    )
+    assert drv == dist == [0, 3, 4]

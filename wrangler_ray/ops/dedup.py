@@ -179,6 +179,7 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.8,
     shingle_k: int = 5,
     exact_margin: float = 0.12,
+    distributed: bool = False,
 ):
     """MinHash+LSH near-dup removal: shingle→minhash→band→bucket groupby→
     candidate pairs→verify Jaccard→connected components→keep min-id per
@@ -189,7 +190,15 @@ def minhash_lsh_dedup(
     ESTIMATE (mean of matching signature components — one numpy comparison
     over all edges at once, signatures only, ~num_perm·8 bytes per doc on the
     driver); only edges within ``±exact_margin`` of the threshold fall back
-    to TRUE shingle-set Jaccard, for which only those few texts are fetched."""
+    to TRUE shingle-set Jaccard, for which only those few texts are fetched.
+
+    ``distributed=True`` switches to the no-driver-state path for corpora
+    whose candidate-edge set exceeds driver memory: edges stay a Dataset,
+    verification is a double hash-join against the signature table with the
+    same MinHash estimate (estimate-only — no exact-borderline pass), and
+    clustering + drop run via wrangler_ray.ops.cc (min-label-propagation
+    connected components + representative join). Same semantics up to the
+    borderline estimate band."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
@@ -264,6 +273,12 @@ def minhash_lsh_dedup(
 
     banded = signed.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
     pairs = banded.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
+
+    if distributed:
+        return _distributed_dedup_finish(
+            ds, signed, pairs, id_col, num_perm, jaccard_threshold
+        )
+
     edges = _collect_edges(pairs)
 
     if len(edges):
@@ -543,3 +558,105 @@ def ngram_jaccard_dedup(
         jaccard_threshold=jaccard_threshold,
         shingle_k=shingle_k,
     )
+
+
+def _distributed_dedup_finish(ds, signed, pairs, id_col, num_perm, jaccard_threshold):
+    """No-driver-state tail of minhash_lsh_dedup: verify candidate edges with
+    the MinHash Jaccard estimate by attaching signatures through two bucketed
+    groupbys (NO Dataset.join — Ray 2.49's hash-join aggregator rejects the
+    empty partitions tiny/skewed key spaces produce), then cluster with
+    distributed min-label propagation and drop non-representatives. Every
+    step is a Dataset operation."""
+    import ray.data as rd
+
+    from wrangler_ray.ops.cc import connected_components, drop_non_representatives
+
+    B = 64
+    sig_bytes = num_perm * 8
+
+    def _frame(k, other, sig, side):
+        return pa.table(
+            {
+                "k": pa.array(np.asarray(k, np.int64), pa.int64()),
+                "other": pa.array(np.asarray(other, np.int64), pa.int64()),
+                "sig": pa.array(list(sig), pa.binary()),
+                "side": pa.array(np.full(len(k), side, np.int8)),
+                "_b": pa.array((np.asarray(k, np.int64) % B).astype(np.int32)),
+            }
+        )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _frame([], [], [], 0)
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return _frame(a, b, [b""] * len(a), 0)
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return _frame([], [], [], 1)
+        n = t.num_rows
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = (
+            t.column("sig").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).astype(np.int64).reshape(n, num_perm)
+        )
+        return _frame(ids, np.zeros(n, np.int64), [row.tobytes() for row in mat], 1)
+
+    def attach(g: pa.Table, out_key_is_other: bool) -> pa.Table:
+        """side-1 rows carry sigs for key k; side-0 rows are edges keyed k.
+        Emit edges re-keyed (optionally on `other`) with sig appended."""
+        if g.num_rows == 0 or "k" not in g.column_names:
+            return _frame([], [], [], 0)
+        df = g.to_pandas()
+        sig_map = df[df["side"] == 1].set_index("k")["sig"]
+        e = df[df["side"] == 0]
+        if not len(e):
+            return _frame([], [], [], 0)
+        looked = e["k"].map(sig_map)
+        ok = looked.notna()
+        e = e[ok]
+        looked = looked[ok]
+        if out_key_is_other:
+            # re-key on the other endpoint; carry this endpoint + its sig by
+            # CONCATENATING it onto any sig already present (stage-2 edges
+            # then hold sig_a + sig_b back to back)
+            new_sig = (e["sig"] + looked).to_numpy()
+            return _frame(e["other"].to_numpy(np.int64), e["k"].to_numpy(np.int64),
+                          new_sig, 0)
+        return _frame(e["k"].to_numpy(np.int64), e["other"].to_numpy(np.int64),
+                      (e["sig"] + looked).to_numpy(), 0)
+
+    # stage 1: key = a → append sig_a, re-key on b
+    st1 = (
+        pairs.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(signed.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("_b")
+        .map_groups(lambda g: attach(g, out_key_is_other=True), batch_format="pyarrow")
+    )
+    # stage 2: key = b → append sig_b
+    st2 = (
+        st1.union(signed.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("_b")
+        .map_groups(lambda g: attach(g, out_key_is_other=False), batch_format="pyarrow")
+    )
+
+    def est_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        b_ids = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        a_ids = t.column("other").to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = t.column("sig").to_pylist()
+        both = np.stack([np.frombuffer(x, np.int64) for x in sigs])
+        sa, sb = both[:, :num_perm], both[:, num_perm:]
+        est = (sa == sb).mean(axis=1)
+        keep = est >= jaccard_threshold
+        return pa.table(
+            {"a": pa.array(a_ids[keep], pa.int64()), "b": pa.array(b_ids[keep], pa.int64())}
+        )
+
+    verified = st2.map_batches(
+        est_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    labels = connected_components(verified)
+    return drop_non_representatives(ds, labels, id_col=id_col)

@@ -21,6 +21,19 @@ import pandas as pd
 import pyarrow as pa
 
 
+def join_partitions(requested: Optional[int] = None) -> int:
+    """Safe partition count for ``Dataset.join``: Ray 2.49's hash join
+    schedules one aggregator actor per partition, and a partition count far
+    above the session's CPUs deadlocks the pool (measured: 64 partitions on a
+    4-cpu session hangs). Cap at the cluster CPU count; on a real multi-node
+    cluster this returns the full cluster width."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cap = max(2, cpus)
+    return min(requested, cap) if requested else cap
+
+
 def broadcast_join(
     ds,
     small: pa.Table,
@@ -70,10 +83,11 @@ def hash_join(
     on,
     right_on=None,
     how: str = "inner",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ):
     """Large-large join → Ray Data's hash-partitioned join operator
     (explicit shuffle; both sides exchanged once)."""
+    num_partitions = join_partitions(num_partitions)
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = (right_on,) if isinstance(right_on, str) else (
         tuple(right_on) if right_on else None
