@@ -1,0 +1,295 @@
+"""Breadth coverage for the directives not exercised elsewhere: every
+remaining registered directive gets at least one semantic check (gated stubs
+assert their clean NotImplementedError/error-channel behavior). Chain runs
+directly on Arrow tables — no Ray session needed."""
+
+import datetime as dt
+import urllib.parse
+
+import pyarrow as pa
+import pytest
+
+from wrangler_ray.pipeline import DirectiveChain, compile_recipe
+
+
+def run(recipe, table, on_error="skip"):
+    return DirectiveChain(compile_recipe(recipe), on_error=on_error)(table)
+
+
+def col(t, name):
+    return t.column(name).to_pylist()
+
+
+def test_change_column_case():
+    t = pa.table({"AbC": [1], "XyZ": [2]})
+    assert run(["change-column-case lower"], t).column_names == ["abc", "xyz"]
+    assert run(["change-column-case upper"], t).column_names == ["ABC", "XYZ"]
+
+
+def test_create_and_flatten_record():
+    t = pa.table({"a": [1, 2], "b": ["x", "y"], "c": [0.5, 1.5]})
+    rec = run(["create-record :r :a,:b"], t)
+    assert pa.types.is_struct(rec.column("r").type)
+    flat = run(["create-record :r :a,:b", "drop :a,:b", "flatten-record :r"], t)
+    assert set(("r_a", "r_b")) <= set(flat.column_names) or set(("a", "b")) <= set(
+        flat.column_names
+    )
+
+
+def test_current_datetime_injected():
+    t = pa.table({"x": [1, 2]})
+    out = run(["current-datetime :now"], t)
+    vals = col(out, "now")
+    assert len(vals) == 2 and vals[0] == vals[1]  # one job-level constant
+
+
+def test_datetime_roundtrip_timestamp():
+    t = pa.table({"ts": pa.array([dt.datetime(2024, 3, 1, 12, 30)], pa.timestamp("us"))})
+    out = run(["datetime-to-timestamp :ts"], t)
+    assert pa.types.is_timestamp(out.column("ts").type)
+    back = run(["timestamp-to-datetime :ts"], out)
+    assert back.column("ts").to_pylist()[0].year == 2024
+
+
+def test_filter_row_v1_aliases():
+    t = pa.table({"v": pa.array([1, 5, 9], pa.int64())})
+    # v1: filter-row-if-true drops where condition true
+    out = run(["filter-row-if-true exp:{v > 4}"], t)
+    assert col(out, "v") == [1]
+    # v1: filter-row-if-false drops where condition false
+    out = run(["filter-row-if-false exp:{v > 4}"], t)
+    assert col(out, "v") == [5, 9]
+
+
+def test_filter_rows_on_empty_or_null():
+    t = pa.table({"a": ["", None, "x"], "b": [None, None, "y"]})
+    out = run(["filter-rows-on empty-or-null-columns :a,:b"], t)
+    # only the row with some non-empty value among the listed columns survives
+    assert col(out, "a") == ["x"]
+
+
+def test_format_unix_timestamp():
+    t = pa.table({"epoch": pa.array([1719800000], pa.int64())})
+    out = run(["format-unix-timestamp :epoch 'yyyy-MM-dd'"], t)
+    assert col(out, "epoch") == ["2024-07-01"]
+
+
+def test_format_datetime_pattern():
+    t = pa.table({"ts": pa.array([dt.datetime(2024, 3, 1, 12, 30)], pa.timestamp("us"))})
+    out = run(["format-datetime :ts 'yyyy/MM/dd HH:mm'"], t)
+    assert col(out, "ts") == ["2024/03/01 12:30"]
+
+
+def test_generate_uuid_deterministic_seed():
+    t = pa.table({"x": [1, 2, 3]})
+    a = col(run(["generate-uuid :id"], t), "id")
+    assert len(set(a)) == 3  # distinct per row
+    for v in a:
+        assert len(v) == 36  # uuid format
+
+
+def test_indexsplit():
+    t = pa.table({"s": ["abcdefgh"]})
+    out = run(["indexsplit :s 2 5 :part"], t)
+    assert len(col(out, "part")[0]) >= 3  # slice semantics (reference 1-based)
+
+
+def test_mask_shuffle_preserves_shape():
+    t = pa.table({"s": ["Hello 123!"]})
+    out = run(["mask-shuffle :s"], t)
+    v = col(out, "s")[0]
+    assert len(v) == len("Hello 123!")
+    assert v[5] == " " and v[9] == "!"  # non-alnum pass through positionally
+
+
+def test_parse_as_fixed_length():
+    t = pa.table({"body": ["AA1234  zz"]})
+    out = run(["parse-as-fixed-length :body 2,4,4"], t)
+    assert col(out, "body_1") == ["AA"]
+    assert col(out, "body_2") == ["1234"]
+    assert col(out, "body_3") == ["  zz"]
+
+
+def test_parse_as_log_common_format():
+    line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /x.gif HTTP/1.0" 200 2326'
+    t = pa.table({"log": [line]})
+    out = run(["parse-as-log :log 'common'"], t)
+    joined = " ".join(str(col(out, c)[0]) for c in out.column_names)
+    assert "127.0.0.1" in joined and "200" in joined
+
+
+def test_parse_as_datetime_pattern():
+    t = pa.table({"d": ["2024-03-01 12:30:00"]})
+    out = run(["parse-as-datetime :d 'yyyy-MM-dd HH:mm:ss'"], t)
+    v = col(out, "d")[0]
+    assert getattr(v, "year", None) == 2024
+
+
+def test_parse_as_date_natural():
+    t = pa.table({"d": ["2024-03-01"]})
+    # reference ParseDate writes the parsed value to <col>_1
+    out = run(["parse-as-date :d"], t)
+    v = col(out, "d_1")[0]
+    assert getattr(v, "year", None) == 2024
+
+
+def test_parse_xml_to_json():
+    t = pa.table({"x": ["<root><name>bob</name><age>7</age></root>"]})
+    out = run(["parse-xml-to-json :x 2"], t)
+    joined = " ".join(str(col(out, c)[0]) for c in out.column_names)
+    assert "bob" in joined
+
+
+def test_set_charset_decodes_bytes():
+    t = pa.table({"b": pa.array(["héllo".encode("utf-8")], pa.binary())})
+    out = run(["set-charset :b 'utf-8'"], t)
+    assert col(out, "b") == ["héllo"]
+
+
+def test_set_headers_and_set_columns():
+    t = pa.table({"c1": [1], "c2": [2]})
+    assert run(["set-headers :x,:y"], t).column_names == ["x", "y"]
+    assert run(["set-columns :p,:q"], t).column_names == ["p", "q"]
+
+
+def test_set_record_delim_splits_rows():
+    t = pa.table({"blob": ["a;b;c"]})
+    out = run(["set-record-delim :blob ';'"], t)
+    assert col(out, "blob") == ["a", "b", "c"]
+
+
+def test_set_variable_then_use():
+    t = pa.table({"v": pa.array([3, 4], pa.int64())})
+    out = run(["set-variable threshold exp:{3}", "filter-row exp:{v > threshold} false"], t)
+    assert col(out, "v") == [4]
+
+
+def test_split_to_columns():
+    t = pa.table({"s": ["a|b|c", "x|y"]})
+    out = run(["split-to-columns :s '\\|'"], t)
+    assert col(out, "s_1") == ["a", "x"]
+    assert col(out, "s_2") == ["b", "y"]
+    assert col(out, "s_3") == ["c", None]
+
+
+def test_text_metric_similarity():
+    t = pa.table({"a": ["abc"], "b": ["abc"]})
+    out = run(["text-metric levenshtein :a :b :sim"], t)
+    assert col(out, "sim") == [1.0]  # identical → similarity 1
+
+
+def test_url_encode_decode():
+    s = "a b&c=d"
+    t = pa.table({"u": [s]})
+    enc = run(["url-encode :u"], t)
+    # java URLEncoder semantics: space → '+' (quote_plus), reference
+    # transformation/UrlEncode.java
+    assert col(enc, "u") == [urllib.parse.quote_plus(s)]
+    back = run(["url-encode :u", "url-decode :u"], t)
+    assert col(back, "u") == [s]
+
+
+def test_write_as_json_object():
+    t = pa.table({"a": [1], "b": ["x"], "c": [True]})
+    out = run(["write-as-json-object :j :a,:b"], t)
+    assert col(out, "j") == ['{"a": 1, "b": "x"}']
+
+
+def test_format_and_parse_currency():
+    t = pa.table({"amt": pa.array([1234.5], pa.float64())})
+    out = run(["format-as-currency :amt :pretty"], t)
+    pretty = col(out, "pretty")[0]
+    assert "1,234" in pretty
+    back = run(
+        ["format-as-currency :amt :pretty", "parse-as-currency :pretty :back"], t
+    )
+    assert abs(col(back, "back")[0] - 1234.5) < 0.01
+
+
+def test_parse_as_currency_locale_string():
+    t = pa.table({"p": ["$1,234.50"]})
+    out = run(["parse-as-currency :p :v"], t)
+    assert abs(col(out, "v")[0] - 1234.5) < 0.001
+
+
+def test_table_lookup_registered():
+    from wrangler_ray.directives.lookup import register_lookup_table
+
+    register_lookup_table(
+        "colors", pa.table({"id": pa.array([1, 2], pa.int64()), "name": ["red", "blue"]}),
+        key_col="id",
+    )
+    t = pa.table({"cid": pa.array([2, 1, 9], pa.int64())})
+    out = run(["table-lookup :cid 'colors'"], t)
+    assert col(out, "cid_name") == ["blue", "red", None]
+
+
+def test_send_to_error_with_message():
+    t = pa.table({"v": pa.array([-1, 5], pa.int64())})
+    res = DirectiveChain(
+        compile_recipe(["send-to-error exp:{v < 0} 'neg'"]), on_error="skip"
+    )(t)
+    assert col(res, "v") == [5]
+
+
+def test_data_model_map_column():
+    from wrangler_ray.directives.lookup import register_data_model
+
+    register_data_model("omop", {"person_source": "person_id"})
+    t = pa.table({"person_source": [7]})
+    out = run(["data-model-map-column 'omop' :person_source 'person_id'"], t)
+    assert "person_id" in out.column_names
+
+
+def test_gated_stub_parsers_error_cleanly():
+    # heavy-dependency parsers must fail as DATA errors (error channel) or a
+    # clear NotImplementedError — never crash the chain compile
+    t = pa.table({"b": pa.array([b"notavro"], pa.binary())})
+    for d in ("parse-as-avro :b 1 binary", "parse-as-protobuf :b 1 rec",
+              "parse-as-excel :b", "parse-as-hl7 :b"):
+        try:
+            chain = DirectiveChain(compile_recipe([d]), on_error="skip")
+            out = chain(t)  # rows become errors → dropped, or pass through
+            assert out.num_rows in (0, 1)
+        except NotImplementedError:
+            pass
+
+
+def test_invoke_http_against_local_server():
+    import http.server
+    import json
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            out = json.dumps({"echoed": body.get("a", 0) * 10}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        t = pa.table({"a": pa.array([1, 2], pa.int64())})
+        out = run([f"invoke-http http://127.0.0.1:{port}/x :a"], t)
+        assert col(out, "echoed") == [10, 20]  # response fields merged in
+    finally:
+        srv.shutdown()
+
+
+def test_invoke_http_failure_goes_to_error_channel():
+    t = pa.table({"a": [1]})
+    chain = DirectiveChain(
+        compile_recipe(["invoke-http http://127.0.0.1:1/x :a"]), on_error="skip"
+    )
+    out = chain(t)  # unreachable port → rows diverted to error channel
+    assert out.num_rows == 0

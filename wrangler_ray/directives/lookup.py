@@ -122,25 +122,69 @@ def register_lookup_table(name: str, table: pa.Table, key_col: str) -> None:
 
 @directive("invoke-http")
 class InvokeHttp(Directive):
-    """invoke-http <url> :col[,:col]* [header,...] — POST selected columns as
-    JSON per record, merge response fields (reference
-    directives/external/InvokeHttp.java:126-147). No network in this
-    environment: the directive validates args and raises on execute. The
-    production shape is an actor-pool stage with a persistent HTTP session
-    (stages/http.py) — batch fan-out, concurrency-capped."""
+    """invoke-http <url> :col[,:col]* [header,...] — POST the selected columns
+    as a JSON object per record and merge the JSON response's fields into the
+    row; a failed call diverts the row to the ERROR channel (reference
+    directives/external/InvokeHttp.java:126-147 — failures → error port).
+    Works against in-cluster/localhost services; at scale run the chain
+    containing this directive with a bounded ``batch_size`` so the per-row
+    fan-out stays concurrency-capped per task."""
 
     usage = "invoke-http <url> :col [,:col]* [header[,header]*]"
 
     def __init__(self, call):
         self.url = call.text(0)
         self.columns = call.cols(1)
-        self.headers = call.text(2, default=None)
+        raw = call.text(2, default=None)
+        self.headers = {}
+        if raw:
+            for h in str(raw).split(","):
+                if "=" in h:
+                    k, v = h.split("=", 1)
+                elif ":" in h:
+                    k, v = h.split(":", 1)
+                else:
+                    continue
+                self.headers[k.strip()] = v.strip()
 
     def apply(self, table, ctx):
-        raise NotImplementedError(
-            "invoke-http: no network access in this environment; use the "
-            "actor-pool HTTP stage (wrangler_ray/stages) in production"
+        import json as _json
+        import urllib.request
+
+        from wrangler_ray.core.errors import make_error_table
+
+        rows = table.to_pylist()
+        ok_rows: list[dict] = []
+        err_mask = []
+        err_msg = ""
+        for r in rows:
+            payload = {c: r.get(c) for c in self.columns if c in r}
+            req = urllib.request.Request(
+                self.url,
+                data=_json.dumps(payload, default=str).encode(),
+                headers={"Content-Type": "application/json", **self.headers},
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=10) as resp:
+                    body = _json.loads(resp.read().decode() or "{}")
+                merged = dict(r)
+                if isinstance(body, dict):
+                    merged.update(body)
+                ok_rows.append(merged)
+                err_mask.append(False)
+            except Exception as e:  # noqa: BLE001 — any transport/parse failure
+                err_mask.append(True)
+                err_msg = str(e)
+        ok = (
+            pa.Table.from_pylist(ok_rows)
+            if ok_rows
+            else table.schema.empty_table()
         )
+        failed = table.filter(pa.array(err_mask))
+        if failed.num_rows:
+            return ok, make_error_table(failed, 599, f"invoke-http: {err_msg}", self.name)
+        return self.ok(ok)
 
 
 # ---------------------------------------------------------------------------

@@ -137,6 +137,10 @@ class DirectiveCall:
 
 _WS = re.compile(r"\s+")
 _NUMBER = re.compile(r"[+-]?\d+(\.\d+)?([eE][+-]?\d+)?")
+# reference grammar's NUMERIC_LIST (Directives.g4) — e.g. fixed-length widths 2,4,4
+_NUMLIST = re.compile(r"[+-]?\d+(?:\s*,\s*[+-]?\d+)+(?![\w.:=-])")
+# bare URLs (invoke-http <url> ...) — must not lex "://" as a column ref
+_URL = re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*://\S+")
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_\-]*")
 _COLNAME = re.compile(r"[A-Za-z0-9_\-.]+")
 
@@ -289,6 +293,16 @@ def tokenize_statement(stmt: str) -> DirectiveCall:
             content, i = _scan_braced(s, b, "prop")
             tokens.append(Token(PROPERTIES, _parse_props(content)))
             continue
+        um = _URL.match(s, i)
+        if um:
+            tokens.append(Token(TEXT, um.group(0)))
+            i = um.end()
+            continue
+        lm = _NUMLIST.match(s, i)
+        if lm:
+            tokens.append(Token(TEXT, lm.group(0).replace(" ", "")))
+            i = lm.end()
+            continue
         nm = _NUMBER.match(s, i)
         if nm and (nm.end() == n or not (s[nm.end()].isalnum() or s[nm.end()] in ":_-")):
             raw = nm.group(0)
@@ -362,9 +376,13 @@ def parse_recipe(recipe: str | list[str]) -> list[DirectiveCall]:
             i += 1
             continue
         if c == "/" and i + 1 < n and lines[i + 1] == "/" and brace == 0:
-            while i < n and lines[i] != "\n":
-                i += 1
-            continue
+            # '//' is a comment ONLY at a token boundary — 'http://...' (the
+            # invoke-http URL argument) must not be truncated
+            prev = cur[-1] if cur else ""
+            if prev not in (":",):
+                while i < n and lines[i] != "\n":
+                    i += 1
+                continue
         if (c == ";" or c == "\n") and brace == 0:
             stmt = "".join(cur).strip()
             if stmt:
