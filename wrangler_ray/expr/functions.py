@@ -492,7 +492,9 @@ def _j_arraylength(v):
     if v is None:
         return None
     obj = _json.loads(v) if isinstance(v, str) else v
-    return len(obj) if isinstance(obj, list) else None
+    if isinstance(obj, np.ndarray):
+        return int(len(obj))
+    return len(obj) if isinstance(obj, (list, tuple)) else None
 
 
 @expr_function("json:Select")
