@@ -333,9 +333,10 @@ def run_scaling() -> dict:
     thr_lo = r_lo["cdc_events_per_sec"]
     thr_hi = r_hi["cdc_events_per_sec"]
     eff_cdc = (thr_hi / thr_lo) / (hi / lo)
-    # hardware ceiling at the same pair (pure-CPU, embarrassingly parallel)
-    cal_lo = max(_cpu_calibration(lo) for _ in range(2))
-    cal_hi = max(_cpu_calibration(hi) for _ in range(2))
+    # hardware ceiling at the same pair (pure-CPU, embarrassingly parallel);
+    # best-of-3 — the calibration itself is subject to the same VM noise
+    cal_lo = max(_cpu_calibration(lo) for _ in range(3))
+    cal_hi = max(_cpu_calibration(hi) for _ in range(3))
     eff_hw = (cal_hi / cal_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
