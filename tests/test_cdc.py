@@ -222,3 +222,14 @@ def test_time_travel_read(tmp_path, stream, ray_session):
     # latest differs from v1, but v1 stays readable and identical
     assert table.read_arrow(version=v1).equals(snap_v1)
     assert table.latest_manifest()["version"] > v1
+
+
+def test_manifest_metrics(tmp_path, stream, ray_session):
+    table = _fresh_table(tmp_path, stream, ray_session)
+    m = table.apply_changes(stream["segments"])
+    met = m["metrics"]
+    assert met["changes_applied"] > 0
+    assert met["partitions_rewritten"] == len(m["lineage"])
+    assert met["exchange_write_s"] >= 0 and met["merge_s"] >= 0
+    assert met["merge_tasks"] >= met["partitions_rewritten"]
+    assert met["spill_files"] >= 1

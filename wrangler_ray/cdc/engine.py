@@ -549,6 +549,7 @@ class CdcTable:
 
         timing = os.environ.get("WR_CDC_TIMING")
         _t0 = _time.perf_counter()
+        self._last_metrics = {}
         txn_dir = os.path.join(self.table_dir, "staging", txn_id)
         spill_dir = os.path.join(txn_dir, "spills")
         marker = os.path.join(txn_dir, "DELTA_DONE")
@@ -577,9 +578,10 @@ class CdcTable:
         else:
             with open(index_path) as f:
                 by_part = {int(k): v for k, v in json.load(f).items()}
+        self._last_metrics["exchange_write_s"] = round(_time.perf_counter() - _t0, 3)
         if timing:
             print(f"WRTIME delta_write {_time.perf_counter()-_t0:.2f}", file=sys.stderr)
-            _t0 = _time.perf_counter()
+        _t0 = _time.perf_counter()
         # hot-partition detection from the index (no data read): a partition
         # whose pending rows exceed the split threshold is merged by several
         # salted sub-tasks instead of one straggler
@@ -602,6 +604,11 @@ class CdcTable:
             rd.from_items(items, override_num_blocks=len(items))
             .map_batches(merge, batch_format="pyarrow", batch_size=1)
             .take_all()
+        )
+        self._last_metrics["merge_s"] = round(_time.perf_counter() - _t0, 3)
+        self._last_metrics["merge_tasks"] = len(items)
+        self._last_metrics["spill_files"] = len(
+            {f for spills in by_part.values() for f, _, _ in spills}
         )
         if timing:
             print(f"WRTIME merge {_time.perf_counter()-_t0:.2f}", file=sys.stderr)
@@ -644,6 +651,11 @@ class CdcTable:
                 )
             entry["sha256"].append(r["sha256"])
             entry["n_subs"] += 1
+        metrics = dict(getattr(self, "_last_metrics", {}))
+        metrics["changes_applied"] = sum(
+            lr["changes_applied"] for lr in lineage_rec.values()
+        )
+        metrics["partitions_rewritten"] = len(lineage_rec)
         new_manifest = {
             "version": (parent or 0) + 1,
             "parent": parent,
@@ -651,6 +663,7 @@ class CdcTable:
             "watermark_lsn": int(watermark),
             "num_partitions": self.num_partitions,
             "partitions": partitions,
+            "metrics": metrics,
             "lineage": lineage_rec,
             "total_rows": sum(
                 lr["rows"] for lr in lineage_rec.values()
