@@ -233,3 +233,98 @@ def test_manifest_metrics(tmp_path, stream, ray_session):
     assert met["exchange_write_s"] >= 0 and met["merge_s"] >= 0
     assert met["merge_tasks"] >= met["partitions_rewritten"]
     assert met["spill_files"] >= 1
+
+
+def test_merge_on_read_matches_cow(tmp_path, stream, ray_session):
+    """MOR apply must produce the same logical table as COW, with the base
+    files untouched and delta files registered; compaction folds them back."""
+    import ray.data as rd
+
+    # COW reference table
+    t_cow = CdcTable(str(tmp_path / "cow"), num_partitions=8)
+    t_cow.init_from_snapshot(rd.read_parquet(stream["base"]))
+    t_cow.apply_changes(stream["segments"])
+
+    # MOR table over the same stream
+    t_mor = CdcTable(str(tmp_path / "mor"), num_partitions=8)
+    t_mor.init_from_snapshot(rd.read_parquet(stream["base"]))
+    m = t_mor.apply_changes(stream["segments"], mode="mor")
+    assert m["deltas"]  # delta files committed
+    # base files are those of the snapshot txn — untouched by the MOR apply
+    assert all(len(v) == 1 for v in m["partitions"].values())
+
+    oracle = replay_oracle(stream["base"], stream["segments"])
+    assert_tables_equal(t_mor.read_arrow(), oracle)
+    assert t_mor.read_arrow().equals(t_cow.read_arrow())
+
+    # distributed read path merges deltas too
+    got = (
+        t_mor.read()
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == t_cow.read_arrow().num_rows
+
+    # compaction folds deltas into one base file per partition
+    m2 = t_mor.compact()
+    assert not m2.get("deltas")
+    assert_tables_equal(t_mor.read_arrow(), oracle)
+
+
+def test_mor_deletes_suppress_base_rows(tmp_path, stream, ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    table = _fresh_table(tmp_path, stream, ray_session)
+    base = table.read_arrow()
+    victim_conv = base.column("conv_id").to_pylist()[0]
+    victim_turn = base.column("turn_idx").to_pylist()[0]
+    wm = table.watermark
+    seg = str(tmp_path / "del.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "lsn": pa.array([wm + 1], pa.int64()),
+                "op": pa.array(["D"]),
+                "conv_id": pa.array([victim_conv]),
+                "turn_idx": pa.array([victim_turn], pa.int32()),
+                "role": pa.array([""]),
+                "text": pa.array([""]),
+                "tool": pa.array([""]),
+            }
+        ),
+        seg,
+    )
+    m = table.apply_changes([seg], mode="mor")
+    assert m["deltas"]
+    final = table.read_arrow()
+    pairs = list(zip(final.column("conv_id").to_pylist(), final.column("turn_idx").to_pylist()))
+    assert (victim_conv, victim_turn) not in pairs
+    assert final.num_rows == base.num_rows - 1
+
+
+def test_mor_then_cow_absorbs_deltas(tmp_path, stream, ray_session):
+    table = _fresh_table(tmp_path, stream, ray_session)
+    table.apply_changes(stream["segments"][:2], mode="mor")
+    assert table.latest_manifest()["deltas"]
+    # a subsequent COW apply over the same partitions absorbs pending deltas
+    m = table.apply_changes(stream["segments"], mode="cow")
+    assert not m.get("deltas")
+    oracle = replay_oracle(stream["base"], stream["segments"])
+    assert_tables_equal(table.read_arrow(), oracle)
+
+
+def test_vacuum_removes_unreferenced_files(tmp_path, stream, ray_session):
+    table = _fresh_table(tmp_path, stream, ray_session)
+    for seg in stream["segments"]:  # 4 incremental COW transactions
+        table.apply_changes([seg])
+    data_dir = os.path.join(table.table_dir, "data")
+    before = sum(len(fs) for _, _, fs in os.walk(data_dir))
+    res = table.vacuum(keep_versions=1)
+    assert res["removed_files"] > 0
+    after = sum(len(fs) for _, _, fs in os.walk(data_dir))
+    assert after == before - res["removed_files"]
+    # the current version still reads correctly
+    oracle = replay_oracle(stream["base"], stream["segments"])
+    assert_tables_equal(table.read_arrow(), oracle)

@@ -81,6 +81,19 @@ def _file_digest(path: str) -> str:
     return h.hexdigest()
 
 
+def apply_lww_semantics(table: pa.Table) -> pa.Table:
+    """Full merge semantics over any mix of base + change/delta rows:
+    last-writer-wins on _lsn per (conv_id, turn_idx), then deletes drop out
+    ('op' is null for base rows) and the op column is removed."""
+    merged = _lww_reduce(table)
+    if "op" in merged.column_names:
+        op = merged.column("op")
+        keep = pc.or_kleene(pc.is_null(op), pc.not_equal(op, "D"))
+        merged = merged.filter(pc.fill_null(keep, True))
+        merged = merged.drop_columns(["op"])
+    return merged
+
+
 def _lww_reduce(table: pa.Table) -> pa.Table:
     """Keep the max-_lsn row per (conv_id, turn_idx). Vectorized:
     sort by (key, _lsn) then take the last row of each key run."""
@@ -260,9 +273,9 @@ class MergePartition:
             part = int(row["part"])
             sub = int(row["sub"])
             n_subs = int(row["n_subs"])
-            name = (
-                f"p{part:05d}.parquet" if n_subs <= 1 else f"p{part:05d}-s{sub:02d}.parquet"
-            )
+            mor = bool(row.get("mor", False))
+            stem = f"p{part:05d}" if n_subs <= 1 else f"p{part:05d}-s{sub:02d}"
+            name = f"{stem}-delta.parquet" if mor else f"{stem}.parquet"
             staged = os.path.join(self.staging_dir, name)
             changes = self._read_spill_batches(json.loads(row["spills"]))
             if n_subs > 1:
@@ -271,21 +284,20 @@ class MergePartition:
                 # resume: already merged in a previous (crashed) attempt of
                 # the same transaction — idempotent skip.
                 meta = pq.read_metadata(staged)
-                out.append(self._lineage(part, sub, staged, meta.num_rows, changes))
+                out.append(self._lineage(part, sub, staged, meta.num_rows, changes, mor))
                 continue
-            tables = [changes]
-            for cur_path in self.current_files.get(part, []):
-                cur = pq.read_table(os.path.join(self.table_dir, cur_path))
-                if n_subs > 1:
-                    cur = self._sub_filter(cur, sub, n_subs)
-                tables.append(cur)
-            merged = _lww_reduce(concat_reconciled(tables))
-            # deletes drop out ("op" is null for carried-forward rows)
-            if "op" in merged.column_names:
-                op = merged.column("op")
-                keep = pc.or_kleene(pc.is_null(op), pc.not_equal(op, "D"))
-                merged = merged.filter(pc.fill_null(keep, True))
-                merged = merged.drop_columns(["op"])
+            if mor:
+                # merge-on-read: write ONLY the LWW'd changes as a delta file;
+                # deletes stay as op='D' rows so readers can suppress base rows
+                merged = _lww_reduce(changes)
+            else:
+                tables = [changes]
+                for cur_path in self.current_files.get(part, []):
+                    cur = pq.read_table(os.path.join(self.table_dir, cur_path))
+                    if n_subs > 1:
+                        cur = self._sub_filter(cur, sub, n_subs)
+                    tables.append(cur)
+                merged = apply_lww_semantics(concat_reconciled(tables))
             idx = pc.sort_indices(
                 merged, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
             )
@@ -294,11 +306,12 @@ class MergePartition:
             tmp = staged + ".tmp"
             pq.write_table(merged, tmp)
             os.replace(tmp, staged)
-            out.append(self._lineage(part, sub, staged, merged.num_rows, changes))
+            out.append(self._lineage(part, sub, staged, merged.num_rows, changes, mor))
         return pa.concat_tables(out)
 
     def _lineage(
-        self, part: int, sub: int, staged: str, rows: int, changes: pa.Table
+        self, part: int, sub: int, staged: str, rows: int, changes: pa.Table,
+        mor: bool = False,
     ) -> pa.Table:
         wm = pc.max(changes.column(LSN_COL)).as_py() if changes.num_rows else None
         return pa.table(
@@ -310,6 +323,7 @@ class MergePartition:
                 "watermark_lsn": pa.array([wm], pa.int64()),
                 "file": pa.array([staged], pa.string()),
                 "sha256": pa.array([_file_digest(staged)], pa.string()),
+                "delta": pa.array([mor], pa.bool_()),
             }
         )
 
@@ -332,8 +346,10 @@ class _CompactPartition:
             files = json.loads(row["files"])
             staged = os.path.join(self.staging_dir, f"p{part:05d}.parquet")
             if not os.path.exists(staged):
-                merged = concat_reconciled(
-                    [pq.read_table(os.path.join(self.table_dir, f)) for f in files]
+                merged = apply_lww_semantics(
+                    concat_reconciled(
+                        [pq.read_table(os.path.join(self.table_dir, f)) for f in files]
+                    )
                 )
                 idx = pc.sort_indices(
                     merged,
@@ -355,6 +371,7 @@ class _CompactPartition:
                         "watermark_lsn": pa.array([None], pa.int64()),
                         "file": pa.array([staged], pa.string()),
                         "sha256": pa.array([_file_digest(staged)], pa.string()),
+                        "delta": pa.array([False], pa.bool_()),
                     }
                 )
             )
@@ -443,16 +460,26 @@ class CdcTable:
         segment_paths: list[str],
         recipe: Optional[Union[str, list[str]]] = None,
         batch_size: Optional[int] = None,
+        mode: str = "cow",
     ) -> dict:
         """Tail the binlog: apply all events with lsn > watermark from the
         given segment files. Returns the committed manifest (or the current
-        one when there is nothing new)."""
+        one when there is nothing new).
+
+        ``mode``: "cow" rewrites every touched partition (the default,
+        simplest-to-reason-about shape); "mor" (merge-on-read) writes a small
+        DELTA file per touched partition instead — readers apply LWW across
+        base+deltas, and ``compact()`` folds them back. "auto" picks MOR for
+        partitions whose pending changes are <20% of the base rows. MOR is
+        what makes frequent small tail windows affordable at 10^10-event
+        scale: COW would rewrite nearly the whole table every window."""
         import ray.data as rd
 
+        assert mode in ("cow", "mor", "auto")
         manifest = self.latest_manifest()
         watermark = manifest["watermark_lsn"] if manifest else 0
         parent = manifest["version"] if manifest else None
-        current_files = (
+        base_files = (
             {
                 int(k): (v if isinstance(v, list) else [v])
                 for k, v in manifest["partitions"].items()
@@ -460,6 +487,16 @@ class CdcTable:
             if manifest
             else {}
         )
+        delta_files = (
+            {int(k): list(v) for k, v in manifest.get("deltas", {}).items() if v}
+            if manifest
+            else {}
+        )
+        # a COW rewrite must absorb the partition's pending deltas too
+        current_files = {
+            p: base_files.get(p, []) + delta_files.get(p, [])
+            for p in set(base_files) | set(delta_files)
+        }
 
         # additive schema unification across segment footers (metadata-only
         # reads — parallel threads: pq footer parsing is C++ and releases the
@@ -525,7 +562,9 @@ class CdcTable:
             return batch
 
         prepped = ds.map_batches(rename_lsn, batch_format="pyarrow", zero_copy_batch=True)
-        lineage = self._exchange_and_merge(prepped, txn_id, current_files)
+        lineage = self._exchange_and_merge(
+            prepped, txn_id, current_files, mode=mode, base_files=base_files
+        )
         if max_lsn == watermark:
             # no footer stats available: fall back to the lineage watermark
             max_lsn = max(
@@ -534,7 +573,14 @@ class CdcTable:
             )
         return self._finalize(lineage, txn_id, max_lsn, parent=parent)
 
-    def _exchange_and_merge(self, prepped, txn_id: str, current_files: dict) -> list[dict]:
+    def _exchange_and_merge(
+        self,
+        prepped,
+        txn_id: str,
+        current_files: dict,
+        mode: str = "cow",
+        base_files: Optional[dict] = None,
+    ) -> list[dict]:
         """The exchange: map-side indexed IPC spill write (streaming, no
         object-store shuffle) → one merge task per touched partition.
 
@@ -586,14 +632,30 @@ class CdcTable:
         # whose pending rows exceed the split threshold is merged by several
         # salted sub-tasks instead of one straggler
         split_rows = int(os.environ.get("WR_CDC_SPLIT_ROWS", "524288"))
+        base_files = base_files or {}
+
+        def _use_mor(p: int, pending: int) -> bool:
+            bases = base_files.get(p)
+            if not bases or mode == "cow":
+                return False  # nothing to defer against → plain write
+            if mode == "mor":
+                return True
+            base_rows = sum(
+                pq.read_metadata(os.path.join(self.table_dir, f)).num_rows
+                for f in bases
+            )
+            return pending < 0.2 * base_rows
+
         items = []
         for p, spills in sorted(by_part.items()):
             pending = sum(s[2] for s in spills)
             n_subs = min(16, max(1, -(-pending // split_rows)))
             spills_json = json.dumps([[s[0], s[1]] for s in spills])
+            mor = _use_mor(p, pending)
             for sub in range(n_subs):
                 items.append(
-                    {"part": p, "sub": sub, "n_subs": n_subs, "spills": spills_json}
+                    {"part": p, "sub": sub, "n_subs": n_subs, "spills": spills_json,
+                     "mor": mor}
                 )
         if not items:
             return []
@@ -621,23 +683,33 @@ class CdcTable:
             k: (v if isinstance(v, list) else [v])
             for k, v in (manifest["partitions"] if manifest else {}).items()
         }
+        deltas = {
+            k: list(v) for k, v in (manifest.get("deltas", {}) if manifest else {}).items()
+        }
         lineage_rec: dict = {}
         touched: set = set()
         for r in lineage:
             part = int(r["part"])
             sub = int(r["sub"])
+            is_delta = bool(r.get("delta", False))
             dst_dir = os.path.join(self.table_dir, "data", f"p{part:05d}")
             os.makedirs(dst_dir, exist_ok=True)
-            dst = os.path.join(dst_dir, f"{txn_id}-s{sub:02d}.parquet")
+            suffix = "-delta" if is_delta else ""
+            dst = os.path.join(dst_dir, f"{txn_id}-s{sub:02d}{suffix}.parquet")
             rel = os.path.relpath(dst, self.table_dir)
             if not os.path.exists(dst):
                 os.replace(r["file"], dst)
             key = str(part)
-            if key not in touched:
-                # this txn's output REPLACES the partition's previous file set
-                partitions[key] = []
-                touched.add(key)
-            partitions[key].append(rel)
+            if is_delta:
+                deltas.setdefault(key, []).append(rel)
+            else:
+                if key not in touched:
+                    # this txn's output REPLACES the partition's previous file
+                    # set AND absorbs its pending deltas
+                    partitions[key] = []
+                    deltas[key] = []
+                    touched.add(key)
+                partitions[key].append(rel)
             entry = lineage_rec.setdefault(
                 key,
                 {"rows": 0, "changes_applied": 0, "watermark_lsn": None,
@@ -663,6 +735,7 @@ class CdcTable:
             "watermark_lsn": int(watermark),
             "num_partitions": self.num_partitions,
             "partitions": partitions,
+            "deltas": {k: v for k, v in deltas.items() if v},
             "metrics": metrics,
             "lineage": lineage_rec,
             "total_rows": sum(
@@ -690,6 +763,7 @@ class CdcTable:
         pattern: str = "*.parquet",
         window_events: Optional[int] = None,
         recipe: Optional[Union[str, list[str]]] = None,
+        mode: str = "cow",
     ) -> list[dict]:
         """Tail a binlog/WAL directory: discover segment files and apply all
         pending events, in bounded LSN windows of ~``window_events`` rows per
@@ -704,7 +778,7 @@ class CdcTable:
             return []
         if not window_events:
             before = self.latest_manifest()
-            m = self.apply_changes(segs, recipe=recipe)
+            m = self.apply_changes(segs, recipe=recipe, mode=mode)
             return [m] if m is not before else []
         windows: list[list[str]] = [[]]
         acc = 0
@@ -718,27 +792,30 @@ class CdcTable:
         out = []
         version = self.latest_manifest()["version"] if self.latest_manifest() else None
         for w in windows:
-            m = self.apply_changes(w, recipe=recipe)
+            m = self.apply_changes(w, recipe=recipe, mode=mode)
             if m and m["version"] != version:
                 out.append(m)
                 version = m["version"]
         return out
 
     def compact(self) -> dict:
-        """Merge each multi-file (salted) partition back into one file.
-        Transactional like any apply: staged files → atomic manifest commit;
-        the watermark is unchanged. Run it when read amplification from
-        hot-partition subs outweighs the write win."""
+        """Merge each multi-file (salted) partition — and fold any
+        merge-on-read delta files back into the base — into one file per
+        partition. Transactional like any apply: staged files → atomic
+        manifest commit; the watermark is unchanged. Run it when read
+        amplification from deltas/subs outweighs the write win."""
         import ray.data as rd
 
         m = self.latest_manifest()
         if not m:
             raise FileNotFoundError(f"no committed manifest in {self.table_dir}")
-        multi = {
-            p: (v if isinstance(v, list) else [v])
-            for p, v in m["partitions"].items()
-            if isinstance(v, list) and len(v) > 1
-        }
+        deltas = m.get("deltas", {})
+        multi = {}
+        for p, v in m["partitions"].items():
+            bases = v if isinstance(v, list) else [v]
+            d = deltas.get(p, [])
+            if len(bases) > 1 or d:
+                multi[p] = bases + d
         if not multi:
             return m
         txn_id = f"txn-{m['version'] + 1:08d}-compact"
@@ -756,9 +833,54 @@ class CdcTable:
             lineage, txn_id, m["watermark_lsn"], parent=m["version"]
         )
 
+    def vacuum(self, keep_versions: int = 2) -> dict:
+        """Garbage-collect data files not referenced by the newest
+        ``keep_versions`` manifests (copy-on-write keeps every txn's files on
+        disk for time travel; vacuum bounds that). Returns counts. Never
+        touches the staging area of an in-flight transaction."""
+        m = self.latest_manifest()
+        if not m:
+            return {"removed_files": 0, "removed_manifests": 0}
+        latest = m["version"]
+        keep = set(range(max(1, latest - keep_versions + 1), latest + 1))
+        referenced: set = set()
+        for v in keep:
+            try:
+                mv = self.manifest_at(v)
+            except FileNotFoundError:
+                continue
+            for val in mv["partitions"].values():
+                for f in (val if isinstance(val, list) else [val]):
+                    referenced.add(os.path.normpath(f))
+            for val in mv.get("deltas", {}).values():
+                for f in val:
+                    referenced.add(os.path.normpath(f))
+        removed = 0
+        data_dir = os.path.join(self.table_dir, "data")
+        for root, _dirs, files in os.walk(data_dir):
+            for f in files:
+                full = os.path.join(root, f)
+                rel = os.path.normpath(os.path.relpath(full, self.table_dir))
+                if rel not in referenced:
+                    os.unlink(full)
+                    removed += 1
+        removed_manifests = 0
+        mdir = os.path.join(self.table_dir, "manifests")
+        for f in os.listdir(mdir):
+            if f.startswith("manifest-") and f.endswith(".json"):
+                v = int(f[len("manifest-"):-len(".json")])
+                if v not in keep:
+                    os.unlink(os.path.join(mdir, f))
+                    removed_manifests += 1
+        return {"removed_files": removed, "removed_manifests": removed_manifests}
+
     # -- read --------------------------------------------------------------
 
     def files(self, version: Optional[int] = None) -> list[str]:
+        """All data files of the (versioned) manifest — base files plus any
+        merge-on-read delta files. Keys never overlap across partitions, so a
+        reader that applies ``apply_lww_semantics`` over the union is correct
+        whether or not deltas exist."""
         m = self.manifest_at(version) if version is not None else self.latest_manifest()
         if not m:
             return []
@@ -766,7 +888,14 @@ class CdcTable:
         for v in m["partitions"].values():
             for f in (v if isinstance(v, list) else [v]):
                 out.append(os.path.join(self.table_dir, f))
+        for v in m.get("deltas", {}).values():
+            for f in v:
+                out.append(os.path.join(self.table_dir, f))
         return out
+
+    def _has_deltas(self, version: Optional[int] = None) -> bool:
+        m = self.manifest_at(version) if version is not None else self.latest_manifest()
+        return bool(m and any(m.get("deltas", {}).values()))
 
     def read(self, drop_internal: bool = True, version: Optional[int] = None):
         """The table as a Ray Dataset (one file per partition — or per salted
@@ -780,9 +909,32 @@ class CdcTable:
             raise FileNotFoundError(f"no committed manifest in {self.table_dir}")
         schema = unified_schema([pq.read_schema(f) for f in files])
         ds = rd.read_parquet(files, schema=schema)
+        if self._has_deltas(version):
+            # merge-on-read: suppress base rows shadowed/deleted by delta
+            # rows. Partition keys never overlap across files, so one
+            # bucketed groupby on conv_id restores exact LWW semantics.
+            def merge_grp(g: pa.Table) -> pa.Table:
+                if g.num_rows == 0:
+                    return g
+                return apply_lww_semantics(g)
+
+            def add_bucket(t: pa.Table) -> pa.Table:
+                conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+                return t.append_column(
+                    "_rb", pa.array(_hash_partition(conv, 256), pa.int32())
+                )
+
+            ds = (
+                ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+                .groupby("_rb")
+                .map_groups(merge_grp, batch_format="pyarrow")
+                .drop_columns(["_rb"])
+            )
         if drop_internal:
             ds = ds.map_batches(
-                lambda t: t.drop_columns([c for c in (LSN_COL,) if c in t.column_names]),
+                lambda t: t.drop_columns(
+                    [c for c in (LSN_COL, "op") if c in t.column_names]
+                ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
@@ -794,6 +946,9 @@ class CdcTable:
         tabs = [pq.read_table(f) for f in files]
         schema = unified_schema([t.schema for t in tabs])
         out = pa.concat_tables([unify_to_schema(t, schema) for t in tabs])
+        # LWW + delete suppression is a no-op for pure-base reads (keys are
+        # unique) and restores exact semantics under merge-on-read deltas
+        out = apply_lww_semantics(out)
         idx = pc.sort_indices(
             out, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
         )
