@@ -341,6 +341,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def cdc_schema_evolution(sf_dir):
         return _run_cdc_evolved(sf_dir)
 
+    def cdc_mor_tail(sf_dir):
+        # incremental tail with merge-on-read deltas for the later windows;
+        # the final logical table must equal the full replay
+        from wrangler_ray.cdc.engine import CdcTable
+
+        changes = _derive_changes(sf_dir)
+        idx = pc.sort_indices(changes, sort_keys=[("lsn", "ascending")])
+        changes = changes.take(idx)
+        n = changes.num_rows
+        workdir = tempfile.mkdtemp(prefix="wr_cdc_mor_")
+        seg_dir = os.path.join(workdir, "segments")
+        os.makedirs(seg_dir)
+        segs = []
+        for i in range(4):
+            part = changes.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4)
+            p = os.path.join(seg_dir, f"segment-{i:03d}.parquet")
+            pq.write_table(part, p)
+            segs.append(p)
+        table = CdcTable(os.path.join(workdir, "lake"), num_partitions=16)
+        table.apply_changes(segs[:2], mode="cow")
+        table.apply_changes([segs[2]], mode="mor")
+        table.apply_changes([segs[3]], mode="mor")
+        out = table.read_arrow(drop_internal=False)
+        names = ["lsn" if c == "_lsn" else c for c in out.column_names]
+        return out.rename_columns(names)
+
     def hash_join_orders_customer(sf_dir):
         from wrangler_ray.ops.joins import hash_join
 
@@ -503,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_events": cdc_replay_events,
         "cdc_inflight_recipe": cdc_inflight_recipe,
         "cdc_schema_evolution": cdc_schema_evolution,
+        "cdc_mor_tail": cdc_mor_tail,
         "hash_join_orders_customer": hash_join_orders_customer,
         "broadcast_join_supplier_nation": broadcast_join_supplier_nation,
         "asof_join_events_orders": asof_join_events_orders,
@@ -665,6 +692,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM changes
             )
             SELECT conv_id, turn_idx, text, ts, note, lsn
+            FROM ranked
+            WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_mor_tail": """
+            WITH changes AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN value < 5 THEN 'D' ELSE 'U' END AS op,
+                       'conv-' || CAST(user_id % 500 AS VARCHAR) AS conv_id,
+                       CAST(event_id % 20 AS INTEGER) AS turn_idx,
+                       props AS text,
+                       ts
+                FROM events
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY conv_id, turn_idx
+                                          ORDER BY lsn DESC) AS rn
+                FROM changes
+            )
+            SELECT conv_id, turn_idx, text, ts, lsn
             FROM ranked
             WHERE rn = 1 AND op <> 'D'
         """,
