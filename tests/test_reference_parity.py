@@ -124,3 +124,26 @@ def test_quantize_ranges():
         t,
     )
     assert col(out, "wagerange") == ["LOW", "HIGH", "LOW"]
+
+
+# --- parser/CsvParserTest.java ---------------------------------------------
+
+def test_csv_header_cleaning_and_removal():
+    # header "first name, last  \t  name" → columns first_name / last_name,
+    # header row removed (CsvParserTest.java testParseCSVWithHeader)
+    t = pa.table({"body": ["first name, last  \t  name", "alice,zed"]})
+    out = run(["parse-as-csv :body ',' true"], t)
+    assert out.num_rows == 1
+    assert col(out, "first_name") == ["alice"]
+    assert col(out, "last_name") == ["zed"]
+
+
+def test_csv_quoted_fields_with_commas():
+    t = pa.table(
+        {"body": ['07/29/2013,Debt collection,"Other (i.e. phone, health club, etc.)",xx']}
+    )
+    out = run(["parse-as-csv :body ',' false"], t)
+    assert col(out, "body_3") == ["Other (i.e. phone, health club, etc.)"]
+    assert col(out, "body_1") == ["07/29/2013"]
+    # the source column is retained (reference keeps 'body' until dropped)
+    assert "body" in out.column_names
