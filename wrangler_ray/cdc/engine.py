@@ -113,24 +113,6 @@ def _lww_reduce(table: pa.Table) -> pa.Table:
     return t.filter(pa.array(keep))
 
 
-class CombineLww:
-    """Pre-shuffle combiner: within-batch LWW dedup + partition id assignment.
-    Collapses repeated updates to the same turn before they cross the wire —
-    this is the skew/hot-key mitigation (an update storm on one conversation
-    reduces to ≤1 row per key per batch)."""
-
-    def __init__(self, num_partitions: int):
-        self.num_partitions = num_partitions
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        batch = _lww_reduce(batch)
-        conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
-        parts = _hash_partition(conv, self.num_partitions)
-        return batch.append_column(PART_COL, pa.array(parts, pa.int32()))
-
-
 class SpillWriter:
     """Map side of the exchange — the sort-shuffle map-output writer.
 
