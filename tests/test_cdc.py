@@ -328,3 +328,57 @@ def test_vacuum_removes_unreferenced_files(tmp_path, stream, ray_session):
     # the current version still reads correctly
     oracle = replay_oracle(stream["base"], stream["segments"])
     assert_tables_equal(table.read_arrow(), oracle)
+
+
+def test_lww_property_random_streams(tmp_path, ray_session):
+    """Property test: for randomized change streams (ops, duplicate keys,
+    interleaved segments), the engine's final table always equals the pandas
+    last-writer-wins oracle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(seed=st.integers(min_value=0, max_value=10_000))
+    def check(seed):
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(50, 400))
+        lsn = np.arange(1, n + 1, dtype=np.int64)
+        conv = np.array([f"c{c}" for c in rng.randint(0, 12, n)], dtype=object)
+        turn = rng.randint(0, 6, n).astype(np.int32)
+        op = np.where(rng.rand(n) < 0.25, "D", "U")
+        changes = pa.table(
+            {
+                "lsn": pa.array(lsn),
+                "op": pa.array(op.astype(object), pa.string()),
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": pa.array(turn, pa.int32()),
+                "text": pa.array([f"t{i}-{seed}" for i in lsn]),
+            }
+        )
+        d = tmp_path / f"s{seed}"
+        d.mkdir(exist_ok=True)
+        segs = []
+        cuts = sorted(rng.choice(range(1, n), size=min(3, n - 1), replace=False))
+        prev = 0
+        for i, c in enumerate(list(cuts) + [n]):
+            p = str(d / f"seg{i}.parquet")
+            pq.write_table(changes.slice(prev, c - prev), p)
+            segs.append(p)
+            prev = c
+        table = CdcTable(str(d / "lake"), num_partitions=4)
+        table.apply_changes(segs)
+        got = table.read_arrow().to_pandas()
+
+        df = changes.to_pandas().sort_values("lsn")
+        last = df.groupby(["conv_id", "turn_idx"], sort=False).tail(1)
+        exp = (
+            last[last["op"] != "D"]
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp)
+        assert list(got["text"]) == list(exp["text"])
+
+    check()
