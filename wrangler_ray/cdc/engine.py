@@ -21,6 +21,12 @@ Pipeline shape (pure Ray Data; no raw tasks):
                                                       # the spills via mmap
     manifest commit: staged files + lineage → atomic rename
 
+The transactional-manifest design (atomic manifest pointer swap, copy-on-write
+file sets, merge-on-read deltas, compaction, vacuum, time travel) follows the
+public Delta Lake architecture (Armbrust et al., "Delta Lake: High-Performance
+ACID Table Storage over Cloud Object Stores", VLDB 2020 — see PAPERS.md),
+re-expressed over Ray Data with a filesystem spill exchange.
+
 Exactly-once: each apply is a transaction keyed by (parent manifest version,
 target watermark). Partition merges write to ``staging/<txn>/``; a partition
 whose staged file already exists is skipped (resume); the commit is a single
