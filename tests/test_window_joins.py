@@ -212,3 +212,22 @@ def test_minhash_distributed_matches_driver(ray_session):
         .to_pandas()["doc_id"]
     )
     assert drv == dist == [0, 3, 4]
+
+
+def test_simhash_distributed_matches_driver(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wrangler_ray.ops.dedup import simhash_dedup
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog today",
+        "completely different content about ray data pipelines",
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": texts})
+    )
+    drv = sorted(simhash_dedup(ds).to_pandas()["doc_id"])
+    dist = sorted(simhash_dedup(ds, distributed=True).to_pandas()["doc_id"])
+    assert drv == dist == [0, 2]

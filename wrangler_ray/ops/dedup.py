@@ -151,6 +151,16 @@ def _collect_edges(ds_pairs, max_edges: int = 4_000_000) -> pd.DataFrame:
     return t.to_pandas().drop_duplicates(ignore_index=True)
 
 
+def _cc_drop(ds, pairs, id_col):
+    """Distributed tail shared by the dedup variants whose edges are already
+    fully verified: min-label-propagation components + representative join
+    (ops.cc) — no driver-resident edge set."""
+    from wrangler_ray.ops.cc import connected_components, drop_non_representatives
+
+    labels = connected_components(pairs.materialize())
+    return drop_non_representatives(ds, labels, id_col=id_col)
+
+
 class _UnionFind:
     def __init__(self):
         self.parent: dict = {}
@@ -391,10 +401,13 @@ def simhash64(text: str) -> int:
     return int(out)
 
 
-def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
+                  distributed: bool = False):
     """SimHash near-dup: 64-bit signature, 4×16-bit band blocking (any pair
     within hamming ≤3 shares at least one exact 16-bit band), verify hamming
-    within buckets, drop non-representatives."""
+    within buckets, drop non-representatives. ``distributed=True`` clusters
+    with ops.cc min-label propagation instead of driver union-find (edges are
+    already hamming-verified inside the buckets)."""
 
     num_buckets = 64
 
@@ -441,6 +454,8 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
         sign, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # signature table only — tiny vs the corpus
     pairs = signed.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
+    if distributed:
+        return _cc_drop(ds, pairs, id_col)
     edges = _collect_edges(pairs)
     uf = _UnionFind()
     for a, b in zip(edges["a"].to_numpy(), edges["b"].to_numpy()):
@@ -466,6 +481,7 @@ def embedding_dedup(
     num_planes: int = 16,
     seed: int = 3,
     dim: int | None = None,
+    distributed: bool = False,
 ):
     """Embedding near-dup: random-hyperplane LSH bucket → within-bucket exact
     cosine → union-find → keep min-id. ``num_planes`` sign bits per vector;
@@ -524,6 +540,8 @@ def embedding_dedup(
         sign, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # signature table only — tiny vs the corpus
     pairs = signed.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
+    if distributed:
+        return _cc_drop(ds, pairs, id_col)
     edges = _collect_edges(pairs)
     uf = _UnionFind()
     for a, b in zip(edges["a"].to_numpy(), edges["b"].to_numpy()):
