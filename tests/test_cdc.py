@@ -382,3 +382,22 @@ def test_lww_property_random_streams(tmp_path, ray_session):
         assert list(got["text"]) == list(exp["text"])
 
     check()
+
+
+def test_concurrent_commit_rejected(tmp_path, stream, ray_session):
+    """Optimistic concurrency: a transaction built against a stale parent
+    version must be rejected at commit, not silently overwrite."""
+    from wrangler_ray.cdc.engine import ConcurrentCommitError
+
+    table = _fresh_table(tmp_path, stream, ray_session)
+    v1 = table.latest_manifest()
+    # simulate a racing committer: another process advanced the table while
+    # our transaction was in flight
+    table.apply_changes(stream["segments"][:1])
+    stale = dict(v1)
+    stale["version"] = v1["version"] + 1
+    stale["parent"] = v1["version"]  # parent is stale now
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentCommitError):
+        table._commit_manifest(stale)

@@ -59,6 +59,10 @@ import pyarrow.parquet as pq
 
 from wrangler_ray.core.schema import concat_reconciled, unified_schema, unify_to_schema
 
+class ConcurrentCommitError(RuntimeError):
+    """Another transaction committed first (optimistic concurrency check)."""
+
+
 KEY_COLS = ["conv_id", "turn_idx"]
 LSN_COL = "_lsn"
 PART_COL = "_part"
@@ -408,7 +412,18 @@ class CdcTable:
             return json.load(f)
 
     def _commit_manifest(self, manifest: dict) -> None:
-        """Atomic: write manifest file, then atomically swap the pointer."""
+        """Atomic: write manifest file, then atomically swap the pointer.
+        Optimistic concurrency (Delta-style): the commit is only valid if the
+        table is still at the parent version — a concurrent committer that
+        got there first raises instead of being silently overwritten."""
+        current = self.latest_manifest()
+        current_v = current["version"] if current else None
+        if current_v != manifest.get("parent"):
+            raise ConcurrentCommitError(
+                f"table moved to version {current_v} while this transaction "
+                f"(parent {manifest.get('parent')}) was in flight; re-apply "
+                "from the new watermark"
+            )
         name = f"manifest-{manifest['version']:08d}.json"
         path = os.path.join(self.table_dir, "manifests", name)
         with tempfile.NamedTemporaryFile(
