@@ -511,6 +511,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "nation")
         return apply_recipe(ds, ["write-as-csv :row_csv"])
 
+    def text_quality_docs(sf_dir):
+        from wrangler_ray.ops.text import QualityScore
+
+        out = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            QualityScore, batch_format="pandas", concurrency=2
+        )
+        t = pa.concat_tables(out.iter_batches(batch_format="pyarrow", batch_size=None))
+        t = t.select(["doc_id", "q_len", "q_punct_ratio"])
+        return _round_cols(t, {"q_punct_ratio": 6})
+
     return {
         "directive_chain_docs": directive_chain_docs,
         "mask_hash_customer": mask_hash_customer,
@@ -547,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_reservoir_docs": sample_reservoir_docs,
         "error_channel_customer": error_channel_customer,
         "write_csv_nation": write_csv_nation,
+        "text_quality_docs": text_quality_docs,
     }
 
 
@@ -816,6 +827,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_nationkey AS VARCHAR) || ',' || n_name || ',' ||
                    CAST(n_regionkey AS VARCHAR) AS row_csv
             FROM nation
+        """,
+        "text_quality_docs": r"""
+            SELECT doc_id, length(text) AS q_len,
+                   round(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS q_punct_ratio
+            FROM documents
         """,
         # rows-only (non-SQL-expressible): dedup_minhash_docs,
         # dedup_simhash_docs, dedup_embedding_vecs, dedup_ngram_docs,

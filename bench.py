@@ -161,11 +161,31 @@ def run_benchmarks() -> dict:
     ]
     lake = CdcTable(os.path.join(workdir, "lake"), num_partitions=128)
     t0 = time.perf_counter()
-    lake.apply_changes(segs, recipe=cdc_recipe)
+    manifest = lake.apply_changes(segs, recipe=cdc_recipe)
     dt = time.perf_counter() - t0
     queries["cdc_apply"] = round(dt, 3)
     extras["cdc_events"] = n_events
     extras["cdc_events_per_sec"] = round(n_events / dt, 1)
+
+    # replay-to-parity check (the BASELINE metric is throughput AND parity):
+    # the lake's row count must equal the change stream's surviving LWW keys
+    import duckdb as _duckdb
+
+    seg_glob = os.path.join(seg_cache, "segments", "*.parquet")
+    expected = _duckdb.sql(
+        f"""
+        WITH ranked AS (
+            SELECT op, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                          ORDER BY lsn DESC) AS rn
+            FROM read_parquet('{seg_glob}')
+        )
+        SELECT count(*) FROM ranked WHERE rn = 1 AND op <> 'D'
+        """
+    ).fetchone()[0]
+    extras["cdc_parity"] = (
+        "ok" if manifest["total_rows"] == expected
+        else f"MISMATCH lake={manifest['total_rows']} oracle={expected}"
+    )
 
     if only == "cdc":
         shutil.rmtree(workdir, ignore_errors=True)
