@@ -401,3 +401,25 @@ def test_concurrent_commit_rejected(tmp_path, stream, ray_session):
 
     with _pytest.raises(ConcurrentCommitError):
         table._commit_manifest(stale)
+
+
+def test_read_column_pruning_and_point_lookup(tmp_path, stream, ray_session):
+    table = _fresh_table(tmp_path, stream, ray_session)
+    table.apply_changes(stream["segments"][:2])
+    table.apply_changes(stream["segments"][2:], mode="mor")  # deltas present
+
+    # pruned read returns only the requested columns, correct under MOR
+    ds = table.read(columns=["conv_id", "text"])
+    cols = set(ds.schema().names)
+    assert cols == {"conv_id", "text"}
+    assert ds.count() == table.read_arrow().num_rows
+
+    # point lookup equals the filtered full read
+    full = table.read_arrow()
+    conv = full.column("conv_id").to_pylist()[0]
+    got = table.lookup_conversation(conv)
+    exp = full.filter(__import__("pyarrow.compute", fromlist=["x"]).equal(
+        full.column("conv_id"), conv))
+    assert got.num_rows == exp.num_rows
+    assert got.column("turn_idx").to_pylist() == sorted(exp.column("turn_idx").to_pylist())
+    assert set(got.column("text").to_pylist()) == set(exp.column("text").to_pylist())

@@ -900,17 +900,38 @@ class CdcTable:
         m = self.manifest_at(version) if version is not None else self.latest_manifest()
         return bool(m and any(m.get("deltas", {}).values()))
 
-    def read(self, drop_internal: bool = True, version: Optional[int] = None):
+    def read(
+        self,
+        drop_internal: bool = True,
+        version: Optional[int] = None,
+        columns: Optional[list] = None,
+    ):
         """The table as a Ray Dataset (one file per partition — or per salted
         sub-partition for hot partitions — pre-sorted by (conv_id, turn_idx)
         within each file). Pass ``version`` to time-travel to an earlier
-        committed manifest."""
+        committed manifest; ``columns`` prunes at the parquet read (only the
+        named columns leave storage — key/merge columns are added back as
+        needed when deltas must be merged)."""
         import ray.data as rd
 
         files = self.files(version)
         if not files:
             raise FileNotFoundError(f"no committed manifest in {self.table_dir}")
+        read_cols = None
+        if columns is not None:
+            read_cols = list(columns)
+            # merge-on-read needs the key + LWW columns even if not requested
+            if self._has_deltas(version):
+                for c in ("conv_id", "turn_idx", LSN_COL, "op"):
+                    if c not in read_cols:
+                        read_cols.append(c)
         schema = unified_schema([pq.read_schema(f) for f in files])
+        if read_cols is not None:
+            # prune by passing a SUBSET schema (not columns=: with mixed
+            # base/delta schemas the columns kwarg reads per-fragment column
+            # sets that no longer unify)
+            avail = [c for c in read_cols if c in schema.names]
+            schema = pa.schema([schema.field(c) for c in avail])
         ds = rd.read_parquet(files, schema=schema)
         if self._has_deltas(version):
             # merge-on-read: suppress base rows shadowed/deleted by delta
@@ -933,15 +954,57 @@ class CdcTable:
                 .map_groups(merge_grp, batch_format="pyarrow")
                 .drop_columns(["_rb"])
             )
-        if drop_internal:
+        drop_after = [c for c in (LSN_COL, "op") if drop_internal]
+        if columns is not None:
+            drop_after += [
+                c for c in ("conv_id", "turn_idx") if c not in columns
+            ]
+
+        def final_project(t: pa.Table) -> pa.Table:
+            return t.drop_columns([c for c in drop_after if c in t.column_names])
+
+        if drop_after:
             ds = ds.map_batches(
-                lambda t: t.drop_columns(
-                    [c for c in (LSN_COL, "op") if c in t.column_names]
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
+                final_project, batch_format="pyarrow", zero_copy_batch=True
             )
         return ds
+
+    def lookup_conversation(self, conv_id: str, version: Optional[int] = None) -> pa.Table:
+        """Point lookup: hash the key to its partition and read ONLY that
+        partition's files (plus its deltas) — O(partition), not O(table).
+        Returns the conversation's turns in turn order."""
+        m = self.manifest_at(version) if version is not None else self.latest_manifest()
+        if not m:
+            raise FileNotFoundError(f"no committed manifest in {self.table_dir}")
+        part = int(_hash_partition(np.array([conv_id], dtype=object), m["num_partitions"])[0])
+        rels = list(m["partitions"].get(str(part), []))
+        if not isinstance(rels, list):
+            rels = [rels]
+        rels += m.get("deltas", {}).get(str(part), [])
+        tabs = []
+        for rel in rels:
+            f = os.path.join(self.table_dir, rel)
+            # row-group pruning via parquet statistics on the sorted conv_id
+            pf = pq.ParquetFile(f)
+            groups = []
+            for g in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(g).column(
+                    pf.schema_arrow.names.index("conv_id")
+                ).statistics
+                if st is None or (st.min <= conv_id <= st.max):
+                    groups.append(g)
+            if groups:
+                tabs.append(pf.read_row_groups(groups))
+        if not tabs:
+            return pa.table({})
+        out = concat_reconciled(tabs)
+        out = out.filter(pc.equal(out.column("conv_id"), conv_id))
+        out = apply_lww_semantics(out)
+        idx = pc.sort_indices(out, sort_keys=[("turn_idx", "ascending")])
+        out = out.take(idx)
+        if LSN_COL in out.column_names:
+            out = out.drop_columns([LSN_COL])
+        return out
 
     def read_arrow(self, drop_internal: bool = True, version: Optional[int] = None) -> pa.Table:
         """Driver-side read for tests/small tables."""
