@@ -147,3 +147,27 @@ def test_csv_quoted_fields_with_commas():
     assert col(out, "body_1") == ["07/29/2013"]
     # the source column is retained (reference keeps 'body' until dropped)
     assert "body" in out.column_names
+
+
+# --- transformation/SplitEmailTest.java ------------------------------------
+
+def test_split_email_reference_corpus():
+    emails = [
+        "root@cask.co",
+        "joltie.xxx@gmail.com",
+        'joltie."@."root."@".@yahoo.com',
+        "Joltie, Root <joltie.root@hotmail.com>",
+        "Joltie,Root<joltie.root@hotmail.com>",
+        "Joltie,Root<joltie.root@hotmail.com",  # bad: no closing '>'
+        None,
+    ]
+    t = pa.table({"email": pa.array(emails, pa.string())})
+    out = run(["split-email :email"], t)
+    assert col(out, "email_account") == [
+        "root", "joltie.xxx", 'joltie."@."root."@".',
+        "joltie.root", "joltie.root", None, None,
+    ]
+    assert col(out, "email_domain") == [
+        "cask.co", "gmail.com", "yahoo.com",
+        "hotmail.com", "hotmail.com", None, None,
+    ]

@@ -227,10 +227,17 @@ class SplitEmail(Directive):
         if col is None:
             return self.ok(table)
         s = _str_col(table, col)
-        # split on LAST '@' (reference uses lastIndexOf)
+        # reference semantics (SplitEmail.java execute): RFC-822 display-name
+        # forms "Name <addr>" extract the bracketed address; a '<' with no
+        # closing '>' is a bad email → (null, null); otherwise split on the
+        # LAST '@' (lastIndexOf)
         vals = s.to_pylist()
         acct, dom = [], []
         for v in vals:
+            if v is not None and "<" in v:
+                lt = v.rfind("<")
+                gt = v.rfind(">")
+                v = None if gt == -1 else v[lt + 1 : gt]
             if v is None or "@" not in v:
                 acct.append(None)
                 dom.append(None)
