@@ -171,3 +171,36 @@ def test_split_email_reference_corpus():
         "cask.co", "gmail.com", "yahoo.com",
         "hotmail.com", "hotmail.com", None, None,
     ]
+
+
+# --- parser/GrammarBasedParserTest.java ------------------------------------
+
+def test_pragmas_and_comments_ignored():
+    from wrangler_ray.parser.recipe import parse_recipe
+
+    calls = parse_recipe(
+        [
+            "#pragma version 2.0;",
+            "#pragma load-directives text-reverse, text-exchange;",
+            "rename :a :b",
+            "drop :c",
+        ]
+    )
+    assert [c.name for c in calls] == ["rename", "drop"]
+    assert parse_recipe(["// test"]) == []
+    assert [c.name for c in parse_recipe("rename :a :b; drop :c // x\nkeep :b")] == [
+        "rename", "drop", "keep",
+    ]
+
+
+# --- transformation/FindAndReplaceTest.java (sed feature set) ---------------
+
+def test_sed_first_only_backrefs_flags():
+    t = pa.table({"b": ["hello world hello"]})
+    assert col(run([r"find-and-replace :b 's/hello/bye/'"], t), "b") == [
+        "bye world hello"  # no /g → first occurrence only
+    ]
+    assert col(run([r"find-and-replace :b 's/(h\w+)/[\1]/g'"], t), "b") == [
+        "[hello] world [hello]"
+    ]
+    assert col(run([r"find-and-replace :b 's/HELLO/x/gi'"], t), "b") == ["x world x"]
