@@ -204,3 +204,31 @@ def test_sed_first_only_backrefs_flags():
         "[hello] world [hello]"
     ]
     assert col(run([r"find-and-replace :b 's/HELLO/x/gi'"], t), "b") == ["x world x"]
+
+
+# --- column/SetTypeTest.java (conversion matrix spot checks) ----------------
+
+def test_set_type_bytes_big_endian_and_aliases():
+    t = pa.table(
+        {
+            "str_col": ["10000"],
+            "bytes4": pa.array([bytes([0, 0, 39, 16])], pa.binary()),
+            "bytes8": pa.array([bytes([0, 0, 0, 0, 0, 0, 39, 16])], pa.binary()),
+            "dbl": pa.array([10000.0]),
+        }
+    )
+    out = run(
+        [
+            "set-type :str_col int",
+            "set-type :bytes4 int",     # Bytes.toInt: big-endian
+            "set-type :bytes8 long",    # Bytes.toLong
+            "set-type :dbl integer",
+        ],
+        t,
+    )
+    assert col(out, "str_col") == [10000] and str(out.column("str_col").type) == "int32"
+    assert col(out, "bytes4") == [10000]
+    assert col(out, "bytes8") == [10000]
+    assert col(out, "dbl") == [10000]
+    out2 = run(["set-type :str_col i64"], pa.table({"str_col": ["7"]}))
+    assert str(out2.column("str_col").type) == "int64"
