@@ -232,3 +232,33 @@ def test_set_type_bytes_big_endian_and_aliases():
     assert col(out, "dbl") == [10000]
     out2 = run(["set-type :str_col i64"], pa.table({"str_col": ["7"]}))
     assert str(out2.column("str_col").type) == "int64"
+
+
+# --- parser/JsParserTest.java ----------------------------------------------
+
+def test_json_array_of_objects_explodes_with_nullfill():
+    t = pa.table(
+        {"body": ['[ { "a" : 1, "b" : 2 }, { "a" : 3, "b" : 3 }, { "a" : 4, "c" : 5 } ]']}
+    )
+    out = run(["parse-as-json :body"], t)
+    assert out.num_rows == 3
+    assert col(out, "body_a") == [1, 3, 4]
+    assert col(out, "body_b") == [2, 3, None]
+    assert col(out, "body_c") == [None, None, 5]
+
+
+def test_json_scalar_array_explodes_to_rows():
+    out = run(["parse-as-json :body"], pa.table({"body": ["[1,2,3,4,5]"]}))
+    assert out.num_rows == 5
+
+
+def test_json_depth_controls_flatten():
+    t = pa.table(
+        {"body": ['{ "deviceReference": { "brand": "Samsung", "type": "Gear" }, "id": 5 }']}
+    )
+    assert set(run(["parse-as-json :body 1"], t).column_names) == {
+        "body_deviceReference", "body_id",
+    }
+    assert set(run(["parse-as-json :body 2"], t).column_names) == {
+        "body_deviceReference_brand", "body_deviceReference_type", "body_id",
+    }
