@@ -262,3 +262,26 @@ def test_json_depth_controls_flatten():
     assert set(run(["parse-as-json :body 2"], t).column_names) == {
         "body_deviceReference_brand", "body_deviceReference_type", "body_id",
     }
+
+
+# --- parser/ParseExcelTest.java (real fixture) ------------------------------
+
+import os as _os
+
+_TITANIC = "/root/reference/wrangler-core/src/test/resources/titanic.xlsx"
+
+
+def test_parse_as_excel_titanic():
+    import pytest as _pytest
+
+    if not _os.path.exists(_TITANIC):
+        _pytest.skip("reference xlsx fixture not available")
+    data = open(_TITANIC, "rb").read()
+    t = pa.table({"body": pa.array([data], pa.binary())})
+    out = run(["parse-as-excel :body '0'"], t)
+    assert out.num_rows == 892          # ParseExcelTest expectation
+    assert col(out, "fwd")[0] == 0
+    assert col(out, "bkd")[0] == 891
+    assert "A" in out.column_names and "B" in out.column_names
+    # a missing sheet diverts the row to the error channel → empty ok-side
+    assert run(["parse-as-excel :body 'wrong_error'"], t).num_rows == 0

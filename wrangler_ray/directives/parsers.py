@@ -608,10 +608,147 @@ class ParseAsProtobuf(_NeedsExternalLibrary):
     library = "protobuf runtime + descriptor registry"
 
 
+def _xlsx_rows(data: bytes, sheet) -> list[dict]:
+    """Minimal stdlib XLSX reader (zip of XML — no external library needed):
+    resolves the sheet by index or name via workbook.xml(+rels), shared
+    strings, and cell types s/str/inlineStr/b/number. Returns one dict per
+    sheet row keyed by Excel column letters ("A", "B", ...)."""
+    import io as _io
+    import re as _re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    RNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+    PNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    zf = zipfile.ZipFile(_io.BytesIO(data))
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rel_map = {r.get("Id"): r.get("Target") for r in rels.iter(f"{PNS}Relationship")}
+    sheets = []  # (name, target)
+    for sh in wb.iter(f"{NS}sheet"):
+        target = rel_map.get(sh.get(f"{RNS}id"), "")
+        if target and not target.startswith("xl/"):
+            target = "xl/" + target.lstrip("/")
+        sheets.append((sh.get("name"), target))
+    chosen = None
+    ss = str(sheet)
+    if ss.isdigit() and int(ss) < len(sheets):
+        chosen = sheets[int(ss)][1]
+    else:
+        for name, target in sheets:
+            if name == ss:
+                chosen = target
+                break
+    if not chosen:
+        raise ValueError(f"xlsx sheet {sheet!r} not found")
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        for si in ET.fromstring(zf.read("xl/sharedStrings.xml")).iter(f"{NS}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+    rows: list[dict] = []
+    for row in ET.fromstring(zf.read(chosen)).iter(f"{NS}row"):
+        out: dict = {}
+        for c in row.iter(f"{NS}c"):
+            ref = c.get("r", "")
+            letters = _re.match(r"[A-Z]+", ref)
+            if not letters:
+                continue
+            ctype = c.get("t", "n")
+            v_el = c.find(f"{NS}v")
+            if ctype == "inlineStr":
+                is_el = c.find(f"{NS}is")
+                val = "".join(t.text or "" for t in is_el.iter(f"{NS}t")) if is_el is not None else None
+            elif v_el is None or v_el.text is None:
+                val = None
+            elif ctype == "s":
+                val = shared[int(v_el.text)]
+            elif ctype == "b":
+                val = v_el.text == "1"
+            elif ctype == "str":
+                val = v_el.text
+            else:
+                f = float(v_el.text)
+                val = int(f) if f.is_integer() else f
+            if val is not None:
+                out[letters.group(0)] = val
+        rows.append(out)
+    return rows
+
+
 @directive("parse-as-excel")
-class ParseAsExcel(_NeedsExternalLibrary):
+class ParseAsExcel(Directive):
+    """parse-as-excel :col [sheet] [header] — explode an xlsx workbook held in
+    a binary cell into one row per sheet row, columns named by Excel letters
+    (A, B, ...; or the first row's values when header=true), plus ``fwd`` /
+    ``bkd`` forward/backward row indices (reference
+    directives/parser/ParseExcel.java:101-220 — POI there, stdlib zip+XML
+    here). An unreadable workbook / missing sheet diverts the row to the
+    error channel, like the reference's error collector."""
+
     usage = "parse-as-excel :col [sheet] [header]"
-    library = "an xlsx reader (openpyxl)"
+
+    def __init__(self, call):
+        self.column = call.col(0)
+        self.sheet = call.text(1, default="0")
+        hdr = call.text(2, default="false")
+        self.header = str(hdr).lower() == "true"
+
+    def apply(self, table, ctx):
+        from wrangler_ray.core.errors import make_error_table
+
+        col = resolve_column(table, self.column)
+        if col is None:
+            return self.ok(table)
+        vals = table.column(col).to_pylist()
+        out_rows: list[dict] = []
+        err_mask = []
+        err_msg = ""
+        for v in vals:
+            if v is None:
+                err_mask.append(False)
+                continue
+            try:
+                sheet_rows = _xlsx_rows(v if isinstance(v, bytes) else bytes(v), self.sheet)
+            except Exception as e:  # noqa: BLE001 — bad workbook → error row
+                err_mask.append(True)
+                err_msg = str(e)
+                continue
+            err_mask.append(False)
+            names: dict = {}
+            start = 0
+            if self.header and sheet_rows:
+                names = {k: str(val) for k, val in sheet_rows[0].items()}
+                start = 1
+            n = len(sheet_rows) - start
+            for i, r in enumerate(sheet_rows[start:]):
+                rec = {"fwd": i, "bkd": n - i - 1}
+                for k, val in r.items():
+                    rec[names.get(k, k)] = val
+                out_rows.append(rec)
+        # normalize mixed-type columns to string so Arrow can infer
+        cols: dict[str, list] = {}
+        for i, r in enumerate(out_rows):
+            for k in r:
+                cols.setdefault(k, [None] * len(out_rows))
+        for i, r in enumerate(out_rows):
+            for k, val in r.items():
+                cols[k][i] = val
+        for k, vs in cols.items():
+            types = {type(x) for x in vs if x is not None}
+            if len(types) > 1:
+                cols[k] = [None if x is None else str(x) for x in vs]
+        ok = (
+            pa.table(cols)
+            if cols
+            else pa.table({"fwd": pa.array([], pa.int64())})
+        )
+        failed = table.filter(pa.array(err_mask)) if any(err_mask) else None
+        if failed is not None and failed.num_rows:
+            return ok, make_error_table(
+                failed, 2, f"parse-as-excel: {err_msg}", self.name
+            )
+        return self.ok(ok)
 
 
 @directive("parse-as-hl7")
