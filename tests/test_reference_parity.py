@@ -285,3 +285,24 @@ def test_parse_as_excel_titanic():
     assert "A" in out.column_names and "B" in out.column_names
     # a missing sheet diverts the row to the error channel → empty ok-side
     assert run(["parse-as-excel :body 'wrong_error'"], t).num_rows == 0
+
+
+# --- parser/ParseAvroFileTest.java (real fixture) ---------------------------
+
+_AVRO = "/root/reference/wrangler-core/src/test/resources/cdap-log.avro"
+
+
+def test_parse_as_avro_file_cdap_log():
+    import pytest as _pytest
+
+    if not _os.path.exists(_AVRO):
+        _pytest.skip("reference avro fixture not available")
+    data = open(_AVRO, "rb").read()
+    t = pa.table({"body": pa.array([data], pa.binary())})
+    out = run(["parse-as-avro-file :body"], t)
+    assert out.num_rows == 1689                      # ParseAvroFileTest
+    ts = col(out, "timestamp")
+    assert ts[0] == 1495172588118 and ts[-1] == 1495194308245
+    # a non-avro payload diverts to the error channel
+    bad = pa.table({"body": pa.array([b"not avro"], pa.binary())})
+    assert run(["parse-as-avro-file :body"], bad).num_rows == 0

@@ -597,9 +597,75 @@ class ParseAsAvro(_NeedsExternalLibrary):
 
 
 @directive("parse-as-avro-file")
-class ParseAsAvroFile(_NeedsExternalLibrary):
+class ParseAsAvroFile(Directive):
+    """parse-as-avro-file :col — treat a binary cell as a whole Avro object-
+    container file and explode it to one row per record; top-level record
+    fields become columns, nested records/maps/arrays are JSON-serialized
+    (reference directives/parser/ParseAvroFile.java — Java Avro there, the
+    pure-python container reader in avro_reader.py here). Unreadable
+    containers divert the row to the error channel."""
+
     usage = "parse-as-avro-file :col"
-    library = "an Avro container-file reader"
+
+    def __init__(self, call):
+        self.column = call.col(0)
+
+    def apply(self, table, ctx):
+        import json as _json
+
+        from wrangler_ray.core.errors import make_error_table
+        from wrangler_ray.directives.avro_reader import read_container
+
+        col = resolve_column(table, self.column)
+        if col is None:
+            return self.ok(table)
+        vals = table.column(col).to_pylist()
+        out_rows: list[dict] = []
+        err_mask = []
+        err_msg = ""
+        for v in vals:
+            if v is None:
+                err_mask.append(False)
+                continue
+            try:
+                _schema, records = read_container(
+                    v if isinstance(v, bytes) else bytes(v)
+                )
+            except Exception as e:  # noqa: BLE001 — bad container → error row
+                err_mask.append(True)
+                err_msg = str(e)
+                continue
+            err_mask.append(False)
+            for rec in records:
+                if not isinstance(rec, dict):
+                    rec = {col: rec}
+                flat = {}
+                for k, val in rec.items():
+                    if isinstance(val, (dict, list)):
+                        flat[k] = _json.dumps(val, default=str)
+                    elif isinstance(val, bytes):
+                        flat[k] = val
+                    else:
+                        flat[k] = val
+                out_rows.append(flat)
+        cols: dict[str, list] = {}
+        for r in out_rows:
+            for k in r:
+                cols.setdefault(k, [None] * len(out_rows))
+        for i, r in enumerate(out_rows):
+            for k, val in r.items():
+                cols[k][i] = val
+        for k, vs in cols.items():
+            types = {type(x) for x in vs if x is not None}
+            if len(types) > 1:
+                cols[k] = [None if x is None else str(x) for x in vs]
+        ok = pa.table(cols) if cols else pa.table({"_empty": pa.array([], pa.int64())})
+        failed = table.filter(pa.array(err_mask)) if any(err_mask) else None
+        if failed is not None and failed.num_rows:
+            return ok, make_error_table(
+                failed, 2, f"parse-as-avro-file: {err_msg}", self.name
+            )
+        return self.ok(ok)
 
 
 @directive("parse-as-protobuf")
