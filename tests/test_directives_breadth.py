@@ -242,17 +242,54 @@ def test_data_model_map_column():
 
 
 def test_gated_stub_parsers_error_cleanly():
-    # heavy-dependency parsers must fail as DATA errors (error channel) or a
-    # clear NotImplementedError — never crash the chain compile
+    # parsers either decode, divert bad rows to the error channel, or raise a
+    # clear compile-time error (unregistered schema / missing dependency) —
+    # never crash mid-chain
+    from wrangler_ray.core.errors import DirectiveError
+
     t = pa.table({"b": pa.array([b"notavro"], pa.binary())})
-    for d in ("parse-as-avro :b 1 binary", "parse-as-protobuf :b 1 rec",
+    for d in ("parse-as-avro :b unregistered binary", "parse-as-protobuf :b 1 rec",
               "parse-as-excel :b", "parse-as-hl7 :b"):
         try:
             chain = DirectiveChain(compile_recipe([d]), on_error="skip")
             out = chain(t)  # rows become errors → dropped, or pass through
             assert out.num_rows in (0, 1)
-        except NotImplementedError:
+        except (NotImplementedError, DirectiveError):
             pass
+
+
+def test_parse_as_avro_registered_schema():
+    from wrangler_ray.directives.parsers import register_avro_schema
+
+    register_avro_schema(
+        "ev1",
+        {"type": "record", "name": "Ev",
+         "fields": [{"name": "id", "type": "long"},
+                    {"name": "name", "type": "string"}]},
+    )
+
+    def zigzag(n):
+        n = (n << 1) ^ (n >> 63)
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            if n:
+                out += bytes([b7 | 0x80])
+            else:
+                return out + bytes([b7])
+
+    def enc(i, name):
+        nb = name.encode()
+        return zigzag(i) + zigzag(len(nb)) + nb
+
+    t = pa.table({"msg": pa.array([enc(7, "alpha"), b"ÿ" * 10], pa.binary())})
+    out = run(["parse-as-avro :msg ev1 binary"], t)
+    assert col(out, "msg_id") == [7]           # bad message → error channel
+    assert col(out, "msg_name") == ["alpha"]
+    t2 = pa.table({"msg": ['{"id": 3, "name": "x"}']})
+    out2 = run(["parse-as-avro :msg ev1 json"], t2)
+    assert col(out2, "msg_id") == [3]
 
 
 def test_invoke_http_against_local_server():

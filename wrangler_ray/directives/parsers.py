@@ -586,14 +586,96 @@ class _NeedsExternalLibrary(Directive):
         )
 
 
+_AVRO_SCHEMAS: dict[str, dict] = {}
+
+
+def register_avro_schema(schema_id: str, schema: dict) -> None:
+    """Register an Avro schema for ``parse-as-avro`` (the analog of the
+    reference's SchemaRegistryClient — ParseAvro.java:47,76; here schemas are
+    registered driver-side and broadcast with the compiled chain, the same
+    pattern as lookup tables)."""
+    _AVRO_SCHEMAS[str(schema_id)] = schema
+
+
 @directive("parse-as-avro")
-class ParseAsAvro(_NeedsExternalLibrary):
-    """parse-as-avro :col <schema-id> json|binary [version] (reference
-    directives/parser/ParseAvro.java:118 — schema-registry decoder; would be
-    an actor-pool stage holding the decoder)."""
+class ParseAsAvro(Directive):
+    """parse-as-avro :col <schema-id> json|binary [version] — decode each
+    cell as one Avro message using a registered schema (reference
+    directives/parser/ParseAvro.java:118; schema-registry decoder there,
+    ``register_avro_schema`` + the pure-python binary decoder here). Record
+    fields become ``col_<field>`` columns; undecodable cells divert to the
+    error channel."""
 
     usage = "parse-as-avro :col <schema-id> json|binary [version]"
-    library = "an Avro decoder (fastavro/avro)"
+
+    def __init__(self, call):
+        from wrangler_ray.core.errors import DirectiveError
+
+        self.column = call.col(0)
+        self.schema_id = str(call.text(1))
+        self.mode = str(call.text(2, default="binary")).lower()
+        schema = _AVRO_SCHEMAS.get(self.schema_id)
+        if schema is None:
+            raise DirectiveError(
+                f"parse-as-avro: schema '{self.schema_id}' not registered "
+                "(use wrangler_ray.directives.parsers.register_avro_schema)"
+            )
+        self.schema = schema
+
+    def apply(self, table, ctx):
+        import json as _json
+
+        from wrangler_ray.core.errors import make_error_table
+        from wrangler_ray.directives.avro_reader import _Reader, _collect_named, _decode
+
+        col = resolve_column(table, self.column)
+        if col is None:
+            return self.ok(table)
+        named: dict = {}
+        _collect_named(self.schema, named)
+        vals = table.column(col).to_pylist()
+        decoded: list = []
+        err_mask = []
+        err_msg = ""
+        for v in vals:
+            if v is None:
+                decoded.append(None)
+                err_mask.append(False)
+                continue
+            try:
+                if self.mode == "json":
+                    rec = _json.loads(v if isinstance(v, str) else v.decode())
+                else:
+                    rec = _decode(
+                        _Reader(v if isinstance(v, bytes) else bytes(v)),
+                        self.schema, named,
+                    )
+                decoded.append(rec)
+                err_mask.append(False)
+            except Exception as e:  # noqa: BLE001 — bad message → error row
+                decoded.append(None)
+                err_mask.append(True)
+                err_msg = str(e)
+        keep = pa.array([not m for m in err_mask])
+        ok = table.filter(keep)
+        kept = [d for d, m in zip(decoded, err_mask) if not m]
+        fields = sorted({k for d in kept if isinstance(d, dict) for k in d})
+        for f in fields:
+            colvals = [
+                (None if not isinstance(d, dict) else d.get(f)) for d in kept
+            ]
+            colvals = [
+                _json.dumps(x, default=str) if isinstance(x, (dict, list)) else x
+                for x in colvals
+            ]
+            types = {type(x) for x in colvals if x is not None}
+            if len(types) > 1:
+                colvals = [None if x is None else str(x) for x in colvals]
+            ok = _set(ok, f"{col}_{f}", pa.array(colvals))
+        failed = table.filter(pa.array(err_mask))
+        if failed.num_rows:
+            return ok, make_error_table(failed, 2, f"parse-as-avro: {err_msg}", self.name)
+        return self.ok(ok)
 
 
 @directive("parse-as-avro-file")
