@@ -283,7 +283,7 @@ def test_parse_as_avro_registered_schema():
         nb = name.encode()
         return zigzag(i) + zigzag(len(nb)) + nb
 
-    t = pa.table({"msg": pa.array([enc(7, "alpha"), b"ÿ" * 10], pa.binary())})
+    t = pa.table({"msg": pa.array([enc(7, "alpha"), bytes([255]) * 10], pa.binary())})
     out = run(["parse-as-avro :msg ev1 binary"], t)
     assert col(out, "msg_id") == [7]           # bad message → error channel
     assert col(out, "msg_name") == ["alpha"]
