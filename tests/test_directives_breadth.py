@@ -330,3 +330,44 @@ def test_invoke_http_failure_goes_to_error_channel():
     )
     out = chain(t)  # unreachable port → rows diverted to error channel
     assert out.num_rows == 0
+
+
+def test_parse_as_protobuf_with_reference_descriptor():
+    import os as _os
+
+    import pytest as _pytest
+
+    desc_path = "/root/reference/wrangler-core/src/test/resources/addressbook.desc"
+    if not _os.path.exists(desc_path):
+        _pytest.skip("reference descriptor fixture not available")
+    from wrangler_ray.directives.parsers import register_protobuf_descriptor
+
+    register_protobuf_descriptor("ab", open(desc_path, "rb").read())
+
+    def varint(n):
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            if n:
+                out += bytes([b7 | 0x80])
+            else:
+                return out + bytes([b7])
+
+    def field(num, wt, payload):
+        return varint((num << 3) | wt) + payload
+
+    phone = field(1, 2, varint(3) + b"555")
+    person = (
+        field(1, 2, varint(3) + b"Ada")
+        + field(2, 0, varint(7))
+        + field(3, 2, varint(8) + b"ada@x.io")
+        + field(4, 2, varint(len(phone)) + phone)
+    )
+    truncated = field(1, 2, varint(100) + b"x")  # declared 100 bytes, has 1
+    t = pa.table({"msg": pa.array([person, truncated], pa.binary())})
+    out = run(["parse-as-protobuf :msg ab Person"], t)
+    assert out.num_rows == 1  # truncated message → error channel
+    assert col(out, "msg_name") == ["Ada"]
+    assert col(out, "msg_id") == [7]
+    assert col(out, "msg_phones") == ['[{"number": "555"}]']

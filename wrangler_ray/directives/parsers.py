@@ -750,10 +750,106 @@ class ParseAsAvroFile(Directive):
         return self.ok(ok)
 
 
+_PROTO_DESCRIPTORS: dict[str, dict] = {}
+
+
+def register_protobuf_descriptor(schema_id: str, desc_bytes: bytes) -> None:
+    """Register a compiled FileDescriptorSet (.desc bytes) for
+    ``parse-as-protobuf`` (the schema-registry analog — reference
+    ParseProtobuf.java:116 fetches descriptors from the registry; here they
+    are parsed once on the driver by proto_reader.parse_descriptor_set and
+    broadcast with the compiled chain)."""
+    from wrangler_ray.directives.proto_reader import parse_descriptor_set
+
+    _PROTO_DESCRIPTORS[str(schema_id)] = parse_descriptor_set(desc_bytes)
+
+
 @directive("parse-as-protobuf")
-class ParseAsProtobuf(_NeedsExternalLibrary):
+class ParseAsProtobuf(Directive):
+    """parse-as-protobuf :col <schema-id> <record-name> [version] — decode
+    each binary cell as one protobuf message of the named record using a
+    registered descriptor set; fields become ``col_<field>`` columns (nested
+    messages / repeated fields JSON-serialized); undecodable cells divert to
+    the error channel (reference directives/parser/ParseProtobuf.java:116 —
+    Java runtime there, the pure-python wire decoder here)."""
+
     usage = "parse-as-protobuf :col <schema-id> <record-name> [version]"
-    library = "protobuf runtime + descriptor registry"
+
+    def __init__(self, call):
+        from wrangler_ray.core.errors import DirectiveError
+
+        self.column = call.col(0)
+        self.schema_id = str(call.text(1))
+        self.record = str(call.text(2))
+        messages = _PROTO_DESCRIPTORS.get(self.schema_id)
+        if messages is None:
+            raise DirectiveError(
+                f"parse-as-protobuf: descriptor '{self.schema_id}' not registered "
+                "(use wrangler_ray.directives.parsers.register_protobuf_descriptor)"
+            )
+        self.messages = messages
+        self.record_full = self.record
+        if self.record not in messages:
+            matches = [m for m in messages if m.endswith("." + self.record)]
+            if len(matches) == 1:
+                self.record_full = matches[0]
+            else:
+                raise DirectiveError(
+                    f"parse-as-protobuf: record '{self.record}' not found in "
+                    f"descriptor '{self.schema_id}' (has: {sorted(messages)})"
+                )
+
+    def apply(self, table, ctx):
+        import json as _json
+
+        from wrangler_ray.core.errors import make_error_table
+        from wrangler_ray.directives.proto_reader import decode_message
+
+        col = resolve_column(table, self.column)
+        if col is None:
+            return self.ok(table)
+        vals = table.column(col).to_pylist()
+        decoded: list = []
+        err_mask = []
+        err_msg = ""
+        for v in vals:
+            if v is None:
+                decoded.append(None)
+                err_mask.append(False)
+                continue
+            try:
+                rec = decode_message(
+                    v if isinstance(v, bytes) else bytes(v),
+                    self.messages, self.record_full,
+                )
+                decoded.append(rec)
+                err_mask.append(False)
+            except Exception as e:  # noqa: BLE001 — bad message → error row
+                decoded.append(None)
+                err_mask.append(True)
+                err_msg = str(e)
+        keep = pa.array([not m for m in err_mask])
+        ok = table.filter(keep)
+        kept = [d for d, m in zip(decoded, err_mask) if not m]
+        fields = sorted({k for d in kept if isinstance(d, dict) for k in d})
+        for f in fields:
+            colvals = [
+                (None if not isinstance(d, dict) else d.get(f)) for d in kept
+            ]
+            colvals = [
+                _json.dumps(x, default=str) if isinstance(x, (dict, list)) else x
+                for x in colvals
+            ]
+            types = {type(x) for x in colvals if x is not None}
+            if len(types) > 1:
+                colvals = [None if x is None else str(x) for x in colvals]
+            ok = _set(ok, f"{col}_{f}", pa.array(colvals))
+        failed = table.filter(pa.array(err_mask))
+        if failed.num_rows:
+            return ok, make_error_table(
+                failed, 2, f"parse-as-protobuf: {err_msg}", self.name
+            )
+        return self.ok(ok)
 
 
 def _xlsx_rows(data: bytes, sheet) -> list[dict]:
