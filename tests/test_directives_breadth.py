@@ -371,3 +371,16 @@ def test_parse_as_protobuf_with_reference_descriptor():
     assert col(out, "msg_name") == ["Ada"]
     assert col(out, "msg_id") == [7]
     assert col(out, "msg_phones") == ['[{"number": "555"}]']
+
+
+def test_parse_as_log_percent_directives():
+    line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326'
+    t = pa.table({"log": [line]})
+    out = run(['parse-as-log :log \'%h %l %u %t "%r" %>s %b\''], t)
+    assert col(out, "log_ip") == ["127.0.0.1"]
+    assert col(out, "log_user") == ["frank"]
+    assert col(out, "log_method") == ["GET"]
+    assert col(out, "log_uri") == ["/apache_pb.gif"]
+    assert col(out, "log_status") == ["200"]
+    assert col(out, "log_size") == ["2326"]
+    assert col(out, "log_identd") == [None]  # '-' → null

@@ -291,23 +291,104 @@ _CLF_REGEX = re.compile(
 )
 
 
+def _compile_log_format(fmt: str):
+    """Compile an Apache LogFormat %-directive string to (regex, fields).
+    Covers the standard tokens (%h %l %u %t %r %s %>s %b %D %T %v %p and
+    %{Name}i/%{Name}e/%{Name}C); unknown tokens match a non-space run. The
+    reference parses with ApacheHttpdLoglineParser (ParseLog.java:67), which
+    additionally explodes sub-fields; here each token is one column."""
+    import re as _re
+
+    parts = []
+    fields: list[str] = []
+    i = 0
+    n = len(fmt)
+
+    def name_for(tok: str, arg: str | None) -> str:
+        if arg is not None:
+            a = arg.lower().replace("-", "_")
+            if a == "referer":
+                return "referrer"
+            if a == "user_agent":
+                return "agent"
+            return a
+        return {
+            "h": "ip", "l": "identd", "u": "user", "t": "datetime",
+            "s": "status", ">s": "status", "b": "size", "D": "duration_us",
+            "T": "duration_s", "v": "vhost", "p": "port", "m": "method",
+            "U": "uri", "q": "query", "H": "protocol", "a": "client_ip",
+        }.get(tok, f"f{len(fields) + 1}")
+
+    while i < n:
+        c = fmt[i]
+        if c != "%":
+            parts.append(_re.escape(c))
+            i += 1
+            continue
+        i += 1
+        arg = None
+        if i < n and fmt[i] == "{":
+            j = fmt.index("}", i)
+            arg = fmt[i + 1 : j]
+            i = j + 1
+        tok = ""
+        if i < n and fmt[i] == ">":
+            tok = ">"
+            i += 1
+        if i < n:
+            tok += fmt[i]
+            i += 1
+        if tok == "t" and arg is None:
+            fields.append("datetime")
+            parts.append(r"\[(?P<datetime>[^\]]+)\]")
+        elif tok == "r":
+            fields += ["method", "uri", "protocol"]
+            parts.append(r'(?P<method>\S+) (?P<uri>\S+) ?(?P<protocol>[^\s"]*)')
+        else:
+            fname = name_for(tok, arg)
+            base = fname
+            k = 2
+            while fname in fields:
+                fname = f"{base}_{k}"
+                k += 1
+            fields.append(fname)
+            parts.append(rf"(?P<{fname}>\S+)" if tok not in ("i",) or arg is None
+                         else rf"(?P<{fname}>.*?)")
+    return _re.compile("".join(parts)), fields
+
+
 @directive("parse-as-log")
 class ParseAsLog(Directive):
     """parse-as-log :col 'format' — Apache/nginx access-log parse (reference
-    directives/parser/ParseLog.java:67). Supports 'common'/'combined' (and the
-    equivalent %-directive strings); compiled once per chain."""
+    directives/parser/ParseLog.java:67). 'common'/'combined' use the CLF
+    regex; any other format string compiles through the %-directive compiler
+    (one column per token); compiled once per chain."""
 
     usage = "parse-as-log :col 'format'"
 
     def __init__(self, call):
         self.column = call.col(0)
         self.format = call.text(1, default="common")
+        self.custom = None
+        if self.format not in ("common", "combined") and "%" in str(self.format):
+            self.custom = _compile_log_format(str(self.format))
 
     def apply(self, table, ctx):
         col = resolve_column(table, self.column)
         if col is None:
             return self.ok(table)
         vals = table.column(col).to_pylist()
+        if self.custom is not None:
+            regex, fields = self.custom
+            cols = {f: [] for f in fields}
+            for v in vals:
+                m = regex.search(v) if v else None
+                for f in fields:
+                    g = m.group(f) if m else None
+                    cols[f].append(None if g in ("-", None) else g)
+            for f in fields:
+                table = _set(table, f"{col}_{f}", pa.array(cols[f], pa.string()))
+            return self.ok(table)
         fields = ["ip", "user", "datetime", "method", "uri", "protocol", "status",
                   "size", "referrer", "agent"]
         cols: dict[str, list] = {f: [] for f in fields}
