@@ -354,11 +354,12 @@ def run_scaling() -> dict:
     # fields + BASELINE.md) and every workload's raw ratio drops with it.
     lo = int(os.environ.get("WR_SCALING_LO", "2"))
     hi = int(os.environ.get("WR_SCALING_HI", "8"))
-    r_lo = run(lo)
-    # the hi leg is the run-to-run-variable one (more concurrent workers →
-    # more exposure to host noise) and it is also the cheap leg — one extra
-    # attempt stabilizes the ratio
-    r_hi = run(hi, extra=1)
+    # symmetric best-of-N on BOTH legs so min-sampling noise cancels in the
+    # ratio instead of biasing it (extra attempts on only one leg would skew
+    # eff toward that leg)
+    extra = int(os.environ.get("WR_SCALING_EXTRA", "1"))
+    r_lo = run(lo, extra=extra)
+    r_hi = run(hi, extra=extra)
     # efficiency on the CDC headline (events/sec throughput ratio vs CPU ratio)
     thr_lo = r_lo["cdc_events_per_sec"]
     thr_hi = r_hi["cdc_events_per_sec"]

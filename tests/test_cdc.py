@@ -257,6 +257,14 @@ def test_merge_on_read_matches_cow(tmp_path, stream, ray_session):
     assert_tables_equal(t_mor.read_arrow(), oracle)
     assert t_mor.read_arrow().equals(t_cow.read_arrow())
 
+    # manifest total_rows is the PHYSICAL count: all live base + delta files
+    physical = sum(
+        pq.read_metadata(os.path.join(str(tmp_path / "mor"), f)).num_rows
+        for files in list(m["partitions"].values()) + list(m["deltas"].values())
+        for f in (files if isinstance(files, list) else [files])
+    )
+    assert m["total_rows"] == physical
+
     # distributed read path merges deltas too
     got = (
         t_mor.read()
@@ -423,3 +431,50 @@ def test_read_column_pruning_and_point_lookup(tmp_path, stream, ray_session):
     assert got.num_rows == exp.num_rows
     assert got.column("turn_idx").to_pylist() == sorted(exp.column("turn_idx").to_pylist())
     assert set(got.column("text").to_pylist()) == set(exp.column("text").to_pylist())
+
+
+def test_tail_noop_returns_empty(tmp_path, stream, ray_session):
+    # tail() with nothing pending must return [] — a no-op apply returns an
+    # equal-but-distinct manifest dict, so the check must compare versions
+    table = _fresh_table(tmp_path, stream, ray_session)
+    seg_dir = os.path.dirname(stream["segments"][0])
+    first = table.tail(seg_dir, pattern="segment-*.parquet")
+    assert len(first) >= 1
+    again = table.tail(seg_dir, pattern="segment-*.parquet")
+    assert again == []
+    # even when footer pruning can't skip a file (no lsn stats), a zero-change
+    # apply must not burn a manifest version
+    import pyarrow.parquet as _pq
+
+    nostats = str(tmp_path / "seg-nostats.parquet")
+    _pq.write_table(
+        _pq.read_table(stream["segments"][-1]), nostats, write_statistics=False
+    )
+    v = table.latest_manifest()["version"]
+    m = table.apply_changes([nostats])
+    assert m["version"] == v
+    assert table.latest_manifest()["version"] == v
+
+
+def test_point_lookup_legacy_string_partition_entry(tmp_path, stream, ray_session):
+    # pre-upgrade manifests stored a bare path string per partition instead
+    # of a list; lookup_conversation must not split it into characters
+    table = _fresh_table(tmp_path, stream, ray_session)
+    table.apply_changes(stream["segments"])
+    m = table.latest_manifest()
+    conv = table.read_arrow().column("conv_id")[0].as_py()
+    expected = table.lookup_conversation(conv)
+    # rewrite the manifest with single-file partitions downgraded to strings
+    legacy = dict(m, partitions={
+        k: (v[0] if isinstance(v, list) and len(v) == 1 else v)
+        for k, v in m["partitions"].items()
+    }, version=m["version"] + 1, parent=m["version"])
+    mdir = os.path.join(str(tmp_path / "lake"), "manifests")
+    name = f"manifest-{legacy['version']:08d}.json"
+    with open(os.path.join(mdir, name), "w") as f:
+        json.dump(legacy, f)
+    with open(os.path.join(mdir, "MANIFEST"), "w") as f:
+        f.write(name)
+    got = table.lookup_conversation(conv)
+    assert got.num_rows == expected.num_rows
+    assert got.column("conv_id").to_pylist() == expected.column("conv_id").to_pylist()

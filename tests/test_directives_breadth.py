@@ -384,3 +384,62 @@ def test_parse_as_log_percent_directives():
     assert col(out, "log_status") == ["200"]
     assert col(out, "log_size") == ["2326"]
     assert col(out, "log_identd") == [None]  # '-' → null
+
+
+def test_protobuf_packed_repeated_scalars():
+    # proto3 packs repeated numerics by default: one length-delimited payload
+    # holding back-to-back varints / fixed-width values (public wire format)
+    from wrangler_ray.directives.proto_reader import decode_message
+    import struct as _struct
+
+    def varint(n):
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def field(num, wt, payload):
+        return varint((num << 3) | wt) + payload
+
+    messages = {
+        "M": {
+            "fields": {
+                1: ("ints", 5, 3, ""),       # repeated int32
+                2: ("zz", 17, 3, ""),        # repeated sint32 (zigzag)
+                3: ("flags", 8, 3, ""),      # repeated bool
+                4: ("xs", 2, 3, ""),         # repeated float
+                5: ("ds", 1, 3, ""),         # repeated double
+                6: ("fixed", 7, 3, ""),      # repeated fixed32
+                7: ("negs", 5, 3, ""),       # repeated int32 incl. negative
+            }
+        }
+    }
+    packed_ints = varint(1) + varint(2) + varint(300)
+    packed_zz = varint(1) + varint(2) + varint(3)  # zigzag: -1, 1, -2
+    packed_flags = varint(1) + varint(0) + varint(1)
+    packed_floats = _struct.pack("<2f", 1.5, -2.0)
+    packed_doubles = _struct.pack("<2d", 0.25, 9.0)
+    packed_fixed = (7).to_bytes(4, "little") + (9).to_bytes(4, "little")
+    neg = varint((-5) & 0xFFFFFFFFFFFFFFFF)  # int32 -5 as 10-byte... 64-bit varint
+    msg = (
+        field(1, 2, varint(len(packed_ints)) + packed_ints)
+        + field(2, 2, varint(len(packed_zz)) + packed_zz)
+        + field(3, 2, varint(len(packed_flags)) + packed_flags)
+        + field(4, 2, varint(len(packed_floats)) + packed_floats)
+        + field(5, 2, varint(len(packed_doubles)) + packed_doubles)
+        + field(6, 2, varint(len(packed_fixed)) + packed_fixed)
+        + field(7, 2, varint(len(neg)) + neg)
+        # expanded encoding of the same repeated field still appends
+        + field(1, 0, varint(4))
+    )
+    out = decode_message(msg, messages, "M")
+    assert out["ints"] == [1, 2, 300, 4]
+    assert out["zz"] == [-1, 1, -2]
+    assert out["flags"] == [True, False, True]
+    assert out["xs"] == [1.5, -2.0]
+    assert out["ds"] == [0.25, 9.0]
+    assert out["fixed"] == [7, 9]
+    assert out["negs"] == [-5]

@@ -568,6 +568,11 @@ class CdcTable:
         lineage = self._exchange_and_merge(
             prepped, txn_id, current_files, mode=mode, base_files=base_files
         )
+        if not lineage:
+            # every pending row was filtered by the watermark (footer stats
+            # were unavailable to prune the segment up front) — nothing
+            # changed, so do NOT burn a manifest version on an empty txn
+            return manifest
         if max_lsn == watermark:
             # no footer stats available: fall back to the lineage watermark
             max_lsn = max(
@@ -716,7 +721,7 @@ class CdcTable:
             entry = lineage_rec.setdefault(
                 key,
                 {"rows": 0, "changes_applied": 0, "watermark_lsn": None,
-                 "sha256": [], "n_subs": 0},
+                 "sha256": [], "n_subs": 0, "delta": is_delta},
             )
             entry["rows"] += int(r["rows"])
             entry["changes_applied"] += int(r["changes_applied"])
@@ -741,14 +746,19 @@ class CdcTable:
             "deltas": {k: v for k, v in deltas.items() if v},
             "metrics": metrics,
             "lineage": lineage_rec,
+            # PHYSICAL row count: every live base file plus every live delta
+            # file (rows written this txn come from lineage; the rest from
+            # parquet metadata). Under MOR this includes shadowed rows and
+            # op='D' tombstones — they are physical rows until compaction
+            # folds them in; under pure COW it equals the logical count.
             "total_rows": sum(
                 lr["rows"] for lr in lineage_rec.values()
             )
             + sum(
                 pq.read_metadata(os.path.join(self.table_dir, f)).num_rows
-                for p in partitions
-                if p not in lineage_rec
-                for f in partitions[p]
+                for files in list(partitions.values()) + list(deltas.values())
+                for f in files
+                if txn_id not in os.path.basename(f)
             ),
         }
         self._commit_manifest(new_manifest)
@@ -782,7 +792,11 @@ class CdcTable:
         if not window_events:
             before = self.latest_manifest()
             m = self.apply_changes(segs, recipe=recipe, mode=mode)
-            return [m] if m is not before else []
+            # compare versions, not identity: latest_manifest() json-loads a
+            # fresh dict each call, so a no-op apply returns an equal-but-
+            # distinct dict
+            committed = m and (before is None or m["version"] != before["version"])
+            return [m] if committed else []
         windows: list[list[str]] = [[]]
         acc = 0
         for p in segs:
@@ -977,10 +991,12 @@ class CdcTable:
         if not m:
             raise FileNotFoundError(f"no committed manifest in {self.table_dir}")
         part = int(_hash_partition(np.array([conv_id], dtype=object), m["num_partitions"])[0])
-        rels = list(m["partitions"].get(str(part), []))
-        if not isinstance(rels, list):
-            rels = [rels]
-        rels += m.get("deltas", {}).get(str(part), [])
+        # legacy manifests may store a single path string instead of a list —
+        # normalize BEFORE list() (list("a/b.parquet") would split into chars)
+        v = m["partitions"].get(str(part), [])
+        rels = list(v) if isinstance(v, list) else [v]
+        dv = m.get("deltas", {}).get(str(part), [])
+        rels += dv if isinstance(dv, list) else [dv]
         tabs = []
         for rel in rels:
             f = os.path.join(self.table_dir, rel)

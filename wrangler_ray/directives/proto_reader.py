@@ -124,10 +124,61 @@ def _zigzag(v: int) -> int:
     return (v >> 1) ^ -(v & 1)
 
 
+# scalar types that may arrive packed (proto3 packs repeated numerics by
+# default): every numeric/bool/enum type — never string/bytes/message/group
+_PACKABLE = {_T_DOUBLE, _T_FLOAT, _T_INT64, _T_UINT64, _T_INT32, _T_FIXED64,
+             _T_FIXED32, _T_BOOL, _T_UINT32, _T_ENUM, _T_SFIXED32,
+             _T_SFIXED64, _T_SINT32, _T_SINT64}
+
+
+def _unpack_packed(ftype: int, payload: bytes) -> list:
+    """Decode a packed repeated scalar payload (one length-delimited blob
+    holding back-to-back varints / fixed32 / fixed64 values) into a list."""
+    vals: list = []
+    pos, n = 0, len(payload)
+    if ftype in (_T_DOUBLE, _T_FIXED64, _T_SFIXED64):
+        for i in range(0, n, 8):
+            chunk = payload[i : i + 8]
+            if ftype == _T_DOUBLE:
+                vals.append(struct.unpack("<d", chunk)[0])
+            else:
+                vals.append(int.from_bytes(chunk, "little",
+                                           signed=ftype == _T_SFIXED64))
+        return vals
+    if ftype in (_T_FLOAT, _T_FIXED32, _T_SFIXED32):
+        for i in range(0, n, 4):
+            chunk = payload[i : i + 4]
+            if ftype == _T_FLOAT:
+                vals.append(struct.unpack("<f", chunk)[0])
+            else:
+                vals.append(int.from_bytes(chunk, "little",
+                                           signed=ftype == _T_SFIXED32))
+        return vals
+    # varint-encoded scalars
+    while pos < n:
+        v = 0
+        shift = 0
+        while True:
+            b = payload[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        if ftype in (_T_SINT32, _T_SINT64):
+            v = _zigzag(v)
+        elif ftype in (_T_INT32, _T_INT64) and v >= 1 << 63:
+            v -= 1 << 64
+        elif ftype == _T_BOOL:
+            v = bool(v)
+        vals.append(v)
+    return vals
+
+
 def decode_message(data: bytes, messages: dict, name: str) -> dict:
     """Decode a wire-format message into {field_name: value} using the parsed
     descriptors; nested messages decode recursively, repeated fields become
-    lists."""
+    lists (packed or expanded encoding)."""
     desc = messages.get(name)
     if desc is None:
         raise ValueError(f"protobuf message '{name}' not in descriptor set")
@@ -137,6 +188,9 @@ def decode_message(data: bytes, messages: dict, name: str) -> dict:
         if spec is None:
             continue  # unknown field — skip, like the runtime does
         fname, ftype, label, type_name = spec
+        if label == _LABEL_REPEATED and wt == 2 and ftype in _PACKABLE:
+            out.setdefault(fname, []).extend(_unpack_packed(ftype, raw))
+            continue
         if ftype == _T_MESSAGE:
             val = decode_message(raw, messages, type_name)
         elif ftype in (_T_STRING,):
