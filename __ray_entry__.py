@@ -274,13 +274,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return apply_recipe(ds, ["split-to-rows :text ' '"])
 
     def token_counts_docs(sf_dir):
-        from wrangler_ray.ops.text import TokenCount
+        # task-based fused stage (not an actor pool): regex-only state is
+        # microseconds to build, so tasks scale with the cluster instead of
+        # capping the stage at a fixed pool size
+        from wrangler_ray.ops.text import token_counts
 
         ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-        out = ds.map_batches(
-            TokenCount, batch_format="pandas", concurrency=2
-        ).drop_columns(["n_bpe_tokens", "text"])
-        return out
+        return token_counts(ds).drop_columns(["n_bpe_tokens", "text"])
 
     def dedup_exact_docs(sf_dir):
         from wrangler_ray.ops.dedup import exact_dedup
@@ -512,11 +512,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return apply_recipe(ds, ["write-as-csv :row_csv"])
 
     def text_quality_docs(sf_dir):
-        from wrangler_ray.ops.text import QualityScore
+        from wrangler_ray.ops.text import quality
 
-        out = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-            QualityScore, batch_format="pandas", concurrency=2
-        )
+        out = quality(_read(sf_dir, "documents", columns=["doc_id", "text"]))
         t = pa.concat_tables(out.iter_batches(batch_format="pyarrow", batch_size=None))
         t = t.select(["doc_id", "q_len", "q_punct_ratio"])
         return _round_cols(t, {"q_punct_ratio": 6})

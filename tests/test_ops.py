@@ -165,3 +165,25 @@ def test_multimodal_real_decode_is_gated():
 
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)
+
+
+def test_dedup_auto_switch_crosses_driver_cap(docs_ds):
+    """With max_driver_edges=0 every run crosses the cap and must auto-route
+    to the distributed label-propagation path — same survivors, no raise."""
+    from wrangler_ray.ops.dedup import minhash_lsh_dedup, simhash_dedup
+
+    driver = sorted(
+        minhash_lsh_dedup(docs_ds, jaccard_threshold=0.7).to_pandas()["doc_id"]
+    )
+    auto = sorted(
+        minhash_lsh_dedup(
+            docs_ds, jaccard_threshold=0.7, max_driver_edges=0
+        ).to_pandas()["doc_id"]
+    )
+    assert auto == driver
+
+    sh_driver = sorted(simhash_dedup(docs_ds, max_hamming=3).to_pandas()["doc_id"])
+    sh_auto = sorted(
+        simhash_dedup(docs_ds, max_hamming=3, max_driver_edges=0).to_pandas()["doc_id"]
+    )
+    assert sh_auto == sh_driver

@@ -133,22 +133,28 @@ class MinHasher:
         )
 
 
-def _collect_edges(ds_pairs, max_edges: int = 4_000_000) -> pd.DataFrame:
+def _collect_edges(ds_pairs) -> pd.DataFrame:
     """Collect candidate edges on the driver as a deduplicated (a, b) frame
-    (assumption: |edges| ≪ corpus). Arrow-batch collection + vectorized
-    drop_duplicates — never per-row dict iteration. Raises if the cap is
-    exceeded — switch to the distributed label-propagation path in that case
-    rather than OOMing the driver."""
+    (caller has already checked |edges| fits driver memory). Arrow-batch
+    collection + vectorized drop_duplicates — never per-row dict iteration."""
     tabs = list(ds_pairs.iter_batches(batch_size=None, batch_format="pyarrow"))
     t = pa.concat_tables([t for t in tabs if t.num_rows]) if tabs else None
     if t is None or t.num_rows == 0:
         return pd.DataFrame({"a": [], "b": []})
-    if t.num_rows > max_edges:
-        raise RuntimeError(
-            f"candidate edge set too large for driver union-find ({t.num_rows}); "
-            "use label-propagation mode"
-        )
     return t.to_pandas().drop_duplicates(ignore_index=True)
+
+
+def _edges_or_distributed(pairs, max_driver_edges: int):
+    """Materialize the candidate-edge dataset and decide the clustering route:
+    returns (pairs_mat, edges_df) when the edge count fits the driver
+    (union-find path), or (pairs_mat, None) to auto-route to the distributed
+    label-propagation path — a 100 TB crawl corpus blows past any driver cap
+    on the first run, so this must never raise. The count is free metadata
+    after materialize()."""
+    mat = pairs.materialize()
+    if mat.count() > max_driver_edges:
+        return mat, None
+    return mat, _collect_edges(mat)
 
 
 def _cc_drop(ds, pairs, id_col):
@@ -190,6 +196,7 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     exact_margin: float = 0.12,
     distributed: bool = False,
+    max_driver_edges: int = 4_000_000,
 ):
     """MinHash+LSH near-dup removal: shingle→minhash→band→bucket groupby→
     candidate pairs→verify Jaccard→connected components→keep min-id per
@@ -289,7 +296,11 @@ def minhash_lsh_dedup(
             ds, signed, pairs, id_col, num_perm, jaccard_threshold
         )
 
-    edges = _collect_edges(pairs)
+    pairs, edges = _edges_or_distributed(pairs, max_driver_edges)
+    if edges is None:  # edge set too large for driver union-find — auto-switch
+        return _distributed_dedup_finish(
+            ds, signed, pairs, id_col, num_perm, jaccard_threshold
+        )
 
     if len(edges):
         a_ids = edges["a"].to_numpy()
@@ -402,7 +413,7 @@ def simhash64(text: str) -> int:
 
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
-                  distributed: bool = False):
+                  distributed: bool = False, max_driver_edges: int = 4_000_000):
     """SimHash near-dup: 64-bit signature, 4×16-bit band blocking (any pair
     within hamming ≤3 shares at least one exact 16-bit band), verify hamming
     within buckets, drop non-representatives. ``distributed=True`` clusters
@@ -456,7 +467,9 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
     pairs = signed.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
     if distributed:
         return _cc_drop(ds, pairs, id_col)
-    edges = _collect_edges(pairs)
+    pairs, edges = _edges_or_distributed(pairs, max_driver_edges)
+    if edges is None:  # auto-switch: edges exceed the driver cap
+        return _cc_drop(ds, pairs, id_col)
     uf = _UnionFind()
     for a, b in zip(edges["a"].to_numpy(), edges["b"].to_numpy()):
         uf.union(a, b)
@@ -482,6 +495,7 @@ def embedding_dedup(
     seed: int = 3,
     dim: int | None = None,
     distributed: bool = False,
+    max_driver_edges: int = 4_000_000,
 ):
     """Embedding near-dup: random-hyperplane LSH bucket → within-bucket exact
     cosine → union-find → keep min-id. ``num_planes`` sign bits per vector;
@@ -542,7 +556,9 @@ def embedding_dedup(
     pairs = signed.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
     if distributed:
         return _cc_drop(ds, pairs, id_col)
-    edges = _collect_edges(pairs)
+    pairs, edges = _edges_or_distributed(pairs, max_driver_edges)
+    if edges is None:  # auto-switch: edges exceed the driver cap
+        return _cc_drop(ds, pairs, id_col)
     uf = _UnionFind()
     for a, b in zip(edges["a"].to_numpy(), edges["b"].to_numpy()):
         uf.union(a, b)
@@ -561,6 +577,7 @@ def ngram_jaccard_dedup(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.8,
     shingle_k: int = 5,
+    max_driver_edges: int = 4_000_000,
 ):
     """n-gram-Jaccard dedup: exact character-k-gram Jaccard is the decision
     metric; MinHash+LSH (high-recall parameters: 128 perms × 32 bands →
@@ -575,6 +592,7 @@ def ngram_jaccard_dedup(
         bands=32,
         jaccard_threshold=jaccard_threshold,
         shingle_k=shingle_k,
+        max_driver_edges=max_driver_edges,
     )
 
 

@@ -135,7 +135,10 @@ def asof_join(
     rt = right.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True).map_batches(
         tag("r"), batch_format="pyarrow", zero_copy_batch=True
     )
-    both = lt.union(rt).materialize()
+    # stream the union straight into the groupby exchange — materializing
+    # here would double peak object-store footprint for no correctness gain
+    # (the groupby already barriers)
+    both = lt.union(rt)
 
     def merge_bucket(g: pa.Table) -> pa.Table:
         df = g.to_pandas()

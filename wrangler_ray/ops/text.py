@@ -66,16 +66,28 @@ class QualityScore:
         self.text_col = text_col
         self.word_re = re.compile(r"[A-Za-z']+")
         self.punct_re = re.compile(r"[^\w\s]")
+        # matches exactly the word tokens (maximal [A-Za-z']+ runs) that equal
+        # a stopword — lookarounds forbid extending the run on either side, so
+        # this is the vectorized equivalent of `tok.lower() in _STOPWORDS`
+        self.stop_re = re.compile(
+            r"(?<![A-Za-z'])(?:" + "|".join(sorted(_STOPWORDS)) + r")(?![A-Za-z'])",
+            re.IGNORECASE,
+        )
+        self.wordchar_re = re.compile(r"[A-Za-z']")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_col].fillna("")
         length = s.str.len()
         punct = s.str.count(self.punct_re) / length.clip(lower=1)
-        words = s.str.findall(self.word_re)
-        n_words = words.map(len).clip(lower=1)
-        stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in _STOPWORDS))
+        # all three word metrics via vectorized str.count — no per-row lambdas:
+        # word count, stopword-token count, and total word characters (mean
+        # word length = word chars / words, since tokens are [A-Za-z']+ runs)
+        n_words_raw = s.str.count(self.word_re)
+        n_words = n_words_raw.clip(lower=1)
+        stop = s.str.count(self.stop_re)
         stop_ratio = stop / n_words
-        mean_wl = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        word_chars = s.str.count(self.wordchar_re)
+        mean_wl = (word_chars / n_words).where(n_words_raw > 0, 0.0)
         batch["q_len"] = length.astype("int64")
         batch["q_punct_ratio"] = punct.astype("float64")
         batch["q_stop_ratio"] = stop_ratio.astype("float64")
@@ -213,4 +225,40 @@ def analyze(ds, text_col: str = "text", concurrency: int | None = None):
         functools.partial(_analyze_batch, text_col=text_col),
         batch_format="pandas",
         batch_size=None,
+    )
+
+
+# same warm-worker singleton shape for the single-metric stages: their state
+# (a few compiled regexes) is microseconds to build, so a dedicated actor pool
+# would only cap parallelism (an N-actor pool caps the stage at N workers
+# while read tasks starve) — tasks scale with the cluster instead
+_STAGES: dict[tuple[str, str], object] = {}
+
+
+def _stage_batch(batch: pd.DataFrame, cls=None, text_col: str = "text") -> pd.DataFrame:
+    key = (cls.__name__, text_col)
+    st = _STAGES.get(key)
+    if st is None:
+        st = _STAGES[key] = cls(text_col)
+    return st(batch)
+
+
+def token_counts(ds, text_col: str = "text"):
+    """Whitespace + BPE-ish token counts as a task-based fused stage."""
+    import functools
+
+    return ds.map_batches(
+        functools.partial(_stage_batch, cls=TokenCount, text_col=text_col),
+        batch_format="pandas", batch_size=None,
+    )
+
+
+def quality(ds, text_col: str = "text"):
+    """Quality heuristics (length/punct/stopword/word-length) as a task-based
+    fused stage."""
+    import functools
+
+    return ds.map_batches(
+        functools.partial(_stage_batch, cls=QualityScore, text_col=text_col),
+        batch_format="pandas", batch_size=None,
     )
