@@ -519,6 +519,147 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = t.select(["doc_id", "q_len", "q_punct_ratio"])
         return _round_cols(t, {"q_punct_ratio": 6})
 
+    # -- mega-recipes: chain the pytest-only directive families through the
+    # driver oracle (VERDICT r1 item 1) --------------------------------------
+
+    def string_mega_customer(sf_dir):
+        ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+        out = apply_recipe(
+            ds,
+            [
+                "copy :c_name :user",
+                "lowercase :user",
+                "find-and-replace :user 's/[^a-z0-9]+/./g'",
+                "set-column :email exp:{concat(user, '@example.com')}",
+                "split-email :email",
+                "split-to-columns :email '@'",
+                "copy :c_mktsegment :seg",
+                "encode base64 :seg",
+                "titlecase :seg",
+                "indexsplit :c_name 1 8 :name8",
+                "text-distance levenshtein :c_name :c_mktsegment :dist",
+                "set-type :dist int",
+                "set-column :url exp:{concat('https://example.com/u/', user, '?q=1')}",
+                "split-url :url",
+                "set-column :padded exp:{concat('  ', c_name, '  ')}",
+                "copy :padded :lp",
+                "copy :padded :rp",
+                "trim :padded",
+                "ltrim :lp",
+                "rtrim :rp",
+                "url-encode :rp",
+                "split :user '.' :u1 :u2",
+                "set-column :nn exp:{''}",
+                "fill-null-or-empty :nn 'filled'",
+                "keep :c_custkey,:email_account,:email_domain,:email_1,:email_2,"
+                ":seg,:seg_encode_base64,:name8,:dist,:url_host,:url_path,"
+                ":url_query,:padded,:lp,:rp,:u1,:u2,:nn",
+            ],
+        )
+        return out
+
+    def column_mega_part(sf_dir):
+        ds = _read(sf_dir, "part")
+        return apply_recipe(
+            ds,
+            [
+                "keep :p_partkey,:p_brand,:p_type,:p_size",
+                "swap :p_brand :p_type",
+                "rename :p_size :psize",
+                "create-record :rec :p_partkey,:psize",
+                "flatten-record :rec",
+                "columns-replace 's/^p_/x_/'",
+                "change-column-case upper",
+                "set-headers :typ,:brand,:key,:size",
+            ],
+        )
+
+    def dates_mega_events(sf_dir):
+        ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+        return apply_recipe(
+            ds,
+            [
+                "copy :ts :day",
+                "format-date :day 'yyyy-MM-dd'",
+                "parse-as-simple-date :day 'yyyy-MM-dd'",
+                "diff-date :ts :day :ms_into_day",
+                "copy :ts :dt_str",
+                "format-datetime :dt_str 'yyyy-MM-dd HH:mm:ss'",
+                "parse-as-datetime :dt_str 'yyyy-MM-dd HH:mm:ss'",
+                "datetime-to-timestamp :dt_str",
+                "copy :event_id :epoch",
+                "parse-timestamp :epoch seconds",
+                "timestamp-to-datetime :epoch",
+                "copy :event_id :fmt_epoch",
+                "format-unix-timestamp :fmt_epoch 'yyyy-MM-dd HH:mm:ss'",
+            ],
+        )
+
+    def parser_mega_events(sf_dir):
+        ds = _read(sf_dir, "events", columns=["event_id", "props"])
+        return apply_recipe(
+            ds,
+            [
+                # CSV round-trip FIRST, while the row is just (event_id, props)
+                "write-as-csv :row_csv",
+                "parse-as-csv :row_csv ','",
+                "drop :row_csv",
+                "copy :props :h",
+                "hash :h 'MD5' true",
+                "parse-as-fixed-length :h 8,8,16",
+                "copy :props :bin",
+                "set-type :bin bytes",
+                "set-charset :bin 'utf-8'",
+                "copy :props :enc",
+                "encode hex :enc",
+                "decode hex :enc_encode_hex",
+                "drop :enc",
+                "rename :enc_encode_hex :hexed",
+                "rename :enc_encode_hex_decode_hex :roundtrip",
+                "json-path :props :kval '$.k'",
+            ],
+        )
+
+    # -- invariant oracles for previously no_oracle operators ----------------
+
+    def dedup_lsh_exact_invariant(sf_dir):
+        # degenerate parameters: jaccard_threshold=1.0 with true-Jaccard
+        # verification merges ONLY documents whose normalized text (trim +
+        # whitespace-collapse + lowercase, the shingle normalization) is
+        # identical — survivors are SQL-expressible as min-id per group.
+        # shingle_k=50: with short shingles, texts differing only by a
+        # trailing repetition shorter than k (e.g. '… dup dup' vs
+        # '… dup dup dup') have IDENTICAL k-gram sets — a correct merge for
+        # set-Jaccard semantics but not text equality; a 50-char window spans
+        # past any such repetition, making set equality ≡ text equality
+        from wrangler_ray.ops.dedup import ngram_jaccard_dedup
+
+        return ngram_jaccard_dedup(
+            _read(sf_dir, "documents"), jaccard_threshold=1.0, shingle_k=50
+        )
+
+    def sample_reservoir_invariant(sf_dir):
+        # the sample itself is random; its membership + cardinality are not:
+        # exactly k distinct rows, all drawn from the corpus
+        from wrangler_ray.ops.sampling import reservoir
+
+        t = reservoir(_read(sf_dir, "documents"), k=100, seed=42)
+        if not isinstance(t, pa.Table):
+            t = pa.concat_tables(
+                t.iter_batches(batch_size=None, batch_format="pyarrow")
+            )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        corpus = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_sampled": pa.array([len(ids)], pa.int64()),
+                "n_distinct": pa.array([len(np.unique(ids))], pa.int64()),
+                "n_member": pa.array([int(np.isin(ids, corpus).sum())], pa.int64()),
+            }
+        )
+
     return {
         "directive_chain_docs": directive_chain_docs,
         "mask_hash_customer": mask_hash_customer,
@@ -556,6 +697,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "error_channel_customer": error_channel_customer,
         "write_csv_nation": write_csv_nation,
         "text_quality_docs": text_quality_docs,
+        "string_mega_customer": string_mega_customer,
+        "column_mega_part": column_mega_part,
+        "dates_mega_events": dates_mega_events,
+        "parser_mega_events": parser_mega_events,
+        "dedup_lsh_exact_invariant": dedup_lsh_exact_invariant,
+        "sample_reservoir_invariant": sample_reservoir_invariant,
     }
 
 
@@ -831,6 +978,75 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
                          / greatest(length(text), 1), 6) AS q_punct_ratio
             FROM documents
+        """,
+        "string_mega_customer": """
+            WITH base AS (
+                SELECT c_custkey, c_name, c_mktsegment,
+                       regexp_replace(lower(c_name), '[^a-z0-9]+', '.', 'g') AS usr
+                FROM customer
+            )
+            SELECT c_custkey,
+                   usr AS email_account,
+                   'example.com' AS email_domain,
+                   usr AS email_1,
+                   'example.com' AS email_2,
+                   upper(substr(lower(c_mktsegment), 1, 1))
+                     || substr(lower(c_mktsegment), 2) AS seg,
+                   base64(encode(c_mktsegment)) AS seg_encode_base64,
+                   substr(c_name, 1, 8) AS name8,
+                   CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS dist,
+                   'example.com' AS url_host,
+                   '/u/' || usr AS url_path,
+                   'q=1' AS url_query,
+                   c_name AS padded,
+                   c_name || '  ' AS lp,
+                   replace(replace('  ' || c_name, ' ', '+'), '#', '%23') AS rp,
+                   split_part(usr, '.', 1) AS u1,
+                   substr(usr, length(split_part(usr, '.', 1)) + 2) AS u2,
+                   'filled' AS nn
+            FROM base
+        """,
+        "column_mega_part": """
+            SELECT p_brand AS typ, p_type AS brand, p_partkey AS key, p_size AS size
+            FROM part
+        """,
+        "dates_mega_events": """
+            SELECT event_id, ts,
+                   date_trunc('day', ts) AS day,
+                   datediff('millisecond', date_trunc('day', ts), ts) AS ms_into_day,
+                   date_trunc('second', ts) AS dt_str,
+                   TIMESTAMP '1970-01-01 00:00:00'
+                     + event_id * INTERVAL 1 SECOND AS epoch,
+                   strftime(TIMESTAMP '1970-01-01 00:00:00'
+                     + event_id * INTERVAL 1 SECOND, '%Y-%m-%d %H:%M:%S') AS fmt_epoch
+            FROM events
+        """,
+        "parser_mega_events": """
+            SELECT event_id, props,
+                   md5(props) AS h,
+                   substr(md5(props), 1, 8) AS h_1,
+                   substr(md5(props), 9, 8) AS h_2,
+                   substr(md5(props), 17, 16) AS h_3,
+                   props AS bin,
+                   lower(hex(encode(props))) AS hexed,
+                   props AS roundtrip,
+                   CAST(event_id AS VARCHAR) AS row_csv_1,
+                   props AS row_csv_2,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS kval
+            FROM events
+        """,
+        "dedup_lsh_exact_invariant": """
+            WITH keyed AS (
+                SELECT *, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k
+                FROM documents
+            )
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM keyed d
+            JOIN (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY k) reps
+              ON d.doc_id = reps.doc_id
+        """,
+        "sample_reservoir_invariant": """
+            SELECT 100 AS n_sampled, 100 AS n_distinct, 100 AS n_member
         """,
         # rows-only (non-SQL-expressible): dedup_minhash_docs,
         # dedup_simhash_docs, dedup_embedding_vecs, dedup_ngram_docs,

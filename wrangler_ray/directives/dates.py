@@ -17,6 +17,16 @@ def _set(table: pa.Table, name: str, arr) -> pa.Table:
     return table.append_column(name, arr)
 
 
+def _strftime(arr, fmt: str):
+    """Arrow's strftime prints %S WITH the fractional part whenever the
+    timestamp has sub-second resolution — Java's 'ss' never does. When the
+    translated pattern carries no explicit %f, truncate to seconds first so
+    'ss' means seconds, like SimpleDateFormat."""
+    if "%f" not in fmt and pa.types.is_timestamp(arr.type) and arr.type.unit != "s":
+        arr = pc.cast(arr, pa.timestamp("s"), safe=False)
+    return pc.strftime(arr, format=fmt)
+
+
 @directive("diff-date")
 class DiffDate(Directive):
     """diff-date :col1 :col2 :dst — millisecond difference col1 - col2
@@ -61,7 +71,7 @@ class FormatDate(Directive):
             arr = pc.cast(arr, pa.timestamp("us"))
         if pa.types.is_date(arr.type):
             arr = pc.cast(arr, pa.timestamp("us"))
-        out = pc.strftime(arr, format=self.fmt)
+        out = _strftime(arr, self.fmt)
         return self.ok(_set(table, col, out))
 
 
@@ -82,7 +92,7 @@ class FormatUnixTimestamp(Directive):
             return self.ok(table)
         arr = pc.cast(table.column(col), pa.int64(), safe=False)
         ts = pc.cast(pc.multiply(arr, 1_000_000), pa.timestamp("us"))
-        return self.ok(_set(table, col, pc.strftime(ts, format=self.fmt)))
+        return self.ok(_set(table, col, _strftime(ts, self.fmt)))
 
 
 @directive("current-datetime")
@@ -176,4 +186,4 @@ class FormatDatetime(Directive):
         if col is None:
             return self.ok(table)
         arr = pc.cast(table.column(col), pa.timestamp("us"))
-        return self.ok(_set(table, col, pc.strftime(arr, format=self.fmt)))
+        return self.ok(_set(table, col, _strftime(arr, self.fmt)))

@@ -133,6 +133,40 @@ class MinHasher:
         )
 
 
+def _group_all_pairs(df: pd.DataFrame, key_cols: list, id_col: str,
+                     cap: int = 64) -> tuple:
+    """All candidate pairs (a<b) within each key group, vectorized by group
+    SIZE class (one triu expansion per distinct size — no per-row loop).
+    Groups larger than ``cap`` are overwhelmingly near-identical clusters at
+    dedup thresholds, so they fall back to star+chain edges (2g-3 instead of
+    g²/2) which any verifier that accepts the true duplicates reconnects."""
+    if not len(df):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    df = df.sort_values(key_cols + [id_col], kind="mergesort")
+    gid = df.groupby(key_cols, sort=False).ngroup().to_numpy()
+    ids = df[id_col].to_numpy()
+    counts = np.bincount(gid)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    out_a, out_b = [], []
+    sizes = np.unique(counts)
+    for s in sizes[(sizes >= 2) & (sizes <= cap)]:
+        gsel = np.nonzero(counts == s)[0]
+        idx = offsets[gsel][:, None] + np.arange(s)[None, :]
+        m = ids[idx]  # (n_groups, s), ids ascending within each row
+        iu, ju = np.triu_indices(s, k=1)
+        out_a.append(m[:, iu].ravel())
+        out_b.append(m[:, ju].ravel())
+    for gi in np.nonzero(counts > cap)[0]:
+        members = ids[offsets[gi] : offsets[gi + 1]]
+        out_a.append(np.full(len(members) - 1, members[0]))
+        out_b.append(members[1:])
+        out_a.append(members[1:-1])
+        out_b.append(members[2:])
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 def _collect_edges(ds_pairs) -> pd.DataFrame:
     """Collect candidate edges on the driver as a deduplicated (a, b) frame
     (caller has already checked |edges| fits driver memory). Arrow-batch
@@ -277,15 +311,15 @@ def minhash_lsh_dedup(
         )
 
     def bucket_edges(g: pa.Table) -> pa.Table:
-        # one coarse bucket holds MANY (band,key) LSH buckets → one vectorized
-        # pandas groupby inside; pyarrow in/out (the pandas OUTPUT path of
-        # map_groups is pathologically slow in Ray 2.49 — measured 46s vs 1s)
+        # one coarse bucket holds MANY (band,key) LSH buckets → vectorized
+        # pandas/numpy inside; pyarrow in/out (the pandas OUTPUT path of
+        # map_groups is pathologically slow in Ray 2.49 — measured 46s vs 1s).
+        # ALL pairs within an LSH bucket are candidates: star-edges to the
+        # group min would silently drop real pairs whenever the min is a
+        # false-positive collision that fails downstream verification.
         df = g.to_pandas()
-        first = df.groupby(["band", "key"], sort=False)[id_col].transform("min")
-        mask = (df[id_col] != first).to_numpy()
-        out = pd.DataFrame(
-            {"a": first.to_numpy()[mask], "b": df[id_col].to_numpy()[mask]}
-        ).drop_duplicates()  # same pair often collides in MANY bands — ship once
+        a_np, b_np = _group_all_pairs(df, ["band", "key"], id_col)
+        out = pd.DataFrame({"a": a_np, "b": b_np}).drop_duplicates()
         return pa.table({"a": pa.array(out["a"]), "b": pa.array(out["b"])})
 
     banded = signed.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
@@ -446,20 +480,24 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
         )
 
     def bucket_edges(g: pa.Table) -> pa.Table:
+        # all pairs within each (band,key) bucket (star-to-first would miss
+        # true pairs whenever the first member fails the hamming check), then
+        # one vectorized hamming verify over the whole pair list
         df = g.to_pandas()
-        a_out, b_out = [], []
-        for (_, _), grp in df.groupby(["band", "key"], sort=False):
-            if len(grp) < 2:
-                continue
-            grp = grp.sort_values(id_col)
-            sigs = (grp["sig"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
-            ids = grp[id_col].tolist()
-            diff = sigs[0] ^ sigs[1:]
-            ham = np.array([bin(int(d)).count("1") for d in diff])
-            for i in np.nonzero(ham <= max_hamming)[0]:
-                a_out.append(ids[0])
-                b_out.append(ids[i + 1])
-        return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+        a_np, b_np = _group_all_pairs(df, ["band", "key"], id_col)
+        if not len(a_np):
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        sig_map = pd.Series(
+            (df["sig"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64),
+            index=df[id_col].to_numpy(),
+        )
+        sig_map = sig_map[~sig_map.index.duplicated()]
+        xor = sig_map.loc[a_np].to_numpy() ^ sig_map.loc[b_np].to_numpy()
+        bits = np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8), axis=1)
+        ham = bits.sum(axis=1)
+        keep = ham <= max_hamming
+        return pa.table({"a": pa.array(a_np[keep], pa.int64()),
+                         "b": pa.array(b_np[keep], pa.int64())})
 
     signed = ds.map_batches(
         sign, batch_format="pyarrow", zero_copy_batch=True
