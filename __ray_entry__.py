@@ -325,13 +325,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return analyze(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
     def multimodal_images(sf_dir):
+        # REAL decode: deterministic solid-color PNGs authored by the stdlib
+        # codec, decoded by the pipeline — every output column has a closed
+        # form, so the whole stage is oracle-checkable
         import ray.data as rd
 
-        from wrangler_ray.ops.multimodal import image_pipeline, make_fake_image_table
+        from wrangler_ray.ops.multimodal import image_pipeline, make_real_png_table
 
-        t = make_fake_image_table(n=256)
-        out = image_pipeline(rd.from_arrow(t), batch_size=32)
-        return out.drop_columns(["media"])
+        t = make_real_png_table(n=256)
+        out = image_pipeline(rd.from_arrow(t), batch_size=32, fake=False)
+        out = out.drop_columns(["media", "media_type", "resized_media",
+                                "resized_nbytes"])
+        return pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
 
     def cdc_replay_events(sf_dir):
         return _run_cdc(sf_dir)
@@ -638,6 +645,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents"), jaccard_threshold=1.0, shingle_k=50
         )
 
+    def similarity_lsh_exhaustive_invariant(sf_dir):
+        # degenerate LSH: num_planes=0 → one bucket → nothing pruned → the
+        # approximate path must return EXACTLY the brute-force (SQL) top-k
+        from wrangler_ray.ops.similarity import lsh_topk
+
+        emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        q = np.asarray(emb.column("embedding").to_pylist()[0], np.float32)[None, :]
+        out = lsh_topk(_read(sf_dir, "embeddings"), q, k=5, num_planes=0)
+        return _round_cols(out.drop_columns(["query_idx"]), {"score": 3})
+
+    def similarity_ivf_exhaustive_invariant(sf_dir):
+        # degenerate IVF: one cluster probed → exhaustive scan → exact top-k
+        from wrangler_ray.ops.similarity import ivf_topk
+
+        emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        q = np.asarray(emb.column("embedding").to_pylist()[0], np.float32)[None, :]
+        out = ivf_topk(
+            _read(sf_dir, "embeddings"), q, k=5, num_clusters=1, nprobe=1
+        )
+        return _round_cols(out.drop_columns(["query_idx"]), {"score": 3})
+
     def sample_reservoir_invariant(sf_dir):
         # the sample itself is random; its membership + cardinality are not:
         # exactly k distinct rows, all drawn from the corpus
@@ -703,6 +731,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parser_mega_events": parser_mega_events,
         "dedup_lsh_exact_invariant": dedup_lsh_exact_invariant,
         "sample_reservoir_invariant": sample_reservoir_invariant,
+        "similarity_lsh_exhaustive_invariant": similarity_lsh_exhaustive_invariant,
+        "similarity_ivf_exhaustive_invariant": similarity_ivf_exhaustive_invariant,
     }
 
 
@@ -1047,6 +1077,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_reservoir_invariant": """
             SELECT 100 AS n_sampled, 100 AS n_distinct, 100 AS n_member
+        """,
+        "similarity_lsh_exhaustive_invariant": """
+            WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding, (SELECT e FROM q)), 3) AS score
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC, vec_id
+            LIMIT 5
+        """,
+        "similarity_ivf_exhaustive_invariant": """
+            WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding, (SELECT e FROM q)), 3) AS score
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC, vec_id
+            LIMIT 5
+        """,
+        "multimodal_images": """
+            SELECT i AS id,
+                   CAST(8 + i % 57 AS INTEGER) AS width,
+                   CAST(8 + (3 * i) % 57 AS INTEGER) AS height,
+                   CAST(i % 256 AS FLOAT) AS pix_mean,
+                   CAST(0 AS FLOAT) AS pix_std,
+                   CAST(8 + i % 57 AS INTEGER) AS decoded_w,
+                   CAST(8 + (3 * i) % 57 AS INTEGER) AS decoded_h,
+                   TRUE AS decoded_ok,
+                   CAST(224 AS INTEGER) AS resized_w,
+                   CAST(224 AS INTEGER) AS resized_h
+            FROM range(256) t(i)
         """,
         # rows-only (non-SQL-expressible): dedup_minhash_docs,
         # dedup_simhash_docs, dedup_embedding_vecs, dedup_ngram_docs,

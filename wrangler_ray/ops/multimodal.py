@@ -36,60 +36,113 @@ def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
 class DecodeImage:
     """binary → pixel features. Actor-pool stage: decoder initialized once.
 
-    Adds: ``pix_mean: float32``, ``pix_std: float32``, ``decoded_ok: bool``.
-    Real implementation would decode with PIL and also emit a fixed-size
-    tensor column; the fake path derives deterministic pixels from the bytes.
-    """
+    Adds: ``pix_mean: float32``, ``pix_std: float32``, ``decoded_w: int32``,
+    ``decoded_h: int32``, ``decoded_ok: bool``.
+
+    ``fake=False`` is a REAL decode: PIL when importable, else the pure-stdlib
+    PNG codec (wrangler_ray.ops.png) for ``image/png`` payloads. Rows whose
+    bytes fail to decode get ``decoded_ok=False`` and null features — decode
+    errors are per-row data errors, not stage crashes. ``fake=True`` keeps the
+    deterministic digest-derived pixels (no imaging dependency at all)."""
 
     def __init__(self, media_col: str = "media", fake: bool = True):
         self.media_col = media_col
         self.fake = fake
+        self.pil = None
         if not fake:
-            raise NotImplementedError(
-                "DecodeImage: real decode requires PIL, not in this container; "
-                "construct with fake=True"
-            )
+            try:
+                from PIL import Image  # optional fast path
+
+                self.pil = Image
+            except ImportError:
+                self.pil = None  # pure-Python PNG fallback
+
+    def _decode_real(self, payload: bytes):
+        if self.pil is not None:
+            import io
+
+            img = self.pil.open(io.BytesIO(payload))
+            return np.asarray(img.convert("RGB"))
+        from wrangler_ray.ops.png import png_decode
+
+        return png_decode(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.media_col).to_pylist()
         widths = batch.column("width").to_pylist() if "width" in batch.column_names else None
         heights = batch.column("height").to_pylist() if "height" in batch.column_names else None
-        means, stds, oks = [], [], []
+        means, stds, oks, dws, dhs = [], [], [], [], []
         for i, p in enumerate(payloads):
-            if p is None:
+            px = None
+            if p is not None:
+                if self.fake:
+                    w = (widths[i] if widths else 16) or 16
+                    h = (heights[i] if heights else 16) or 16
+                    px = _fake_pixels(bytes(p), w, h)
+                else:
+                    try:
+                        px = self._decode_real(bytes(p))
+                    except Exception:
+                        px = None
+            if px is None:
                 means.append(None)
                 stds.append(None)
+                dws.append(None)
+                dhs.append(None)
                 oks.append(False)
                 continue
-            w = widths[i] if widths else 16
-            h = heights[i] if heights else 16
-            px = _fake_pixels(bytes(p), w or 16, h or 16)
             means.append(float(px.mean()))
             stds.append(float(px.std()))
+            dhs.append(int(px.shape[0]))
+            dws.append(int(px.shape[1]))
             oks.append(True)
         batch = batch.append_column("pix_mean", pa.array(means, pa.float32()))
         batch = batch.append_column("pix_std", pa.array(stds, pa.float32()))
+        batch = batch.append_column("decoded_w", pa.array(dws, pa.int32()))
+        batch = batch.append_column("decoded_h", pa.array(dhs, pa.int32()))
         return batch.append_column("decoded_ok", pa.array(oks, pa.bool_()))
 
 
 class ResizeImage:
-    """Stub resize: records the target size + output byte-length it WOULD
-    produce (w*h*3); real path would re-encode. Adds ``resized_w/resized_h/
-    resized_nbytes``."""
+    """Resize stage. ``real=True`` decodes PNG payloads (pure-stdlib codec),
+    nearest-neighbor resizes with numpy fancy indexing, and re-encodes to a
+    ``resized_media`` PNG column. ``real=False`` (default) keeps the metadata
+    stub: records target size + the byte-length a raw RGB buffer would have.
+    Both add ``resized_w/resized_h/resized_nbytes``."""
 
-    def __init__(self, width: int, height: int, media_col: str = "media"):
+    def __init__(self, width: int, height: int, media_col: str = "media",
+                 real: bool = False):
         self.width = width
         self.height = height
         self.media_col = media_col
+        self.real = real
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         batch = batch.append_column("resized_w", pa.array([self.width] * n, pa.int32()))
         batch = batch.append_column("resized_h", pa.array([self.height] * n, pa.int32()))
-        nb = [
-            self.width * self.height * 3 if v is not None else None
-            for v in batch.column(self.media_col).to_pylist()
-        ]
+        payloads = batch.column(self.media_col).to_pylist()
+        if not self.real:
+            nb = [
+                self.width * self.height * 3 if v is not None else None
+                for v in payloads
+            ]
+            return batch.append_column("resized_nbytes", pa.array(nb, pa.int64()))
+        from wrangler_ray.ops.png import png_decode, png_encode, resize_nearest
+
+        out_media, nb = [], []
+        for p in payloads:
+            try:
+                px = png_decode(bytes(p))
+                if px.shape[2] != 3:  # grey/alpha → RGB for re-encode
+                    px = px[:, :, :1].repeat(3, axis=2) if px.shape[2] < 3 else px[:, :, :3]
+                enc = png_encode(resize_nearest(px, self.width, self.height))
+                out_media.append(enc)
+                nb.append(len(enc))
+            except Exception:
+                out_media.append(None)
+                nb.append(None)
+        batch = batch.append_column("resized_media", pa.array(out_media, pa.binary()))
         return batch.append_column("resized_nbytes", pa.array(nb, pa.int64()))
 
 
@@ -168,17 +221,46 @@ def make_fake_image_table(n: int = 64, seed: int = 9) -> pa.Table:
     )
 
 
-def image_pipeline(ds, batch_size: int = 64, concurrency: int | None = None):
+def make_real_png_table(n: int = 64, seed: int = 9) -> pa.Table:
+    """Deterministic REAL-PNG fixture: image i is a solid color (i % 256) at
+    deterministic dims width=8+(i%57), height=8+((3*i)%57) — every metadata
+    and pixel statistic is predictable in closed form, so a SQL oracle can
+    check the decoded output exactly."""
+    from wrangler_ray.ops.png import png_encode
+
+    payloads, widths, heights = [], [], []
+    for i in range(n):
+        w, h = 8 + i % 57, 8 + (3 * i) % 57
+        px = np.full((h, w, 3), i % 256, np.uint8)
+        payloads.append(png_encode(px))
+        widths.append(w)
+        heights.append(h)
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "media": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image/png"] * n, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+        }
+    )
+
+
+def image_pipeline(ds, batch_size: int = 64, concurrency: int | None = None,
+                   fake: bool = True):
     """decode → resize as actor-pool stages with small batches (binary-heavy).
     num_cpus=0.5 per actor so the two pools share the node with the read
-    stage instead of starving it (pool CPUs must stay < session CPUs)."""
+    stage instead of starving it (pool CPUs must stay < session CPUs).
+    ``fake=False`` runs the REAL decode/resize kernels (PIL or the stdlib
+    PNG codec)."""
     kw = {"concurrency": concurrency or 2, "num_cpus": 0.5}
     ds = ds.map_batches(
         DecodeImage, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, **kw,
+        batch_size=batch_size, fn_constructor_kwargs={"fake": fake}, **kw,
     )
     return ds.map_batches(
         ResizeImage, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size,
-        fn_constructor_kwargs={"width": 224, "height": 224}, **kw,
+        fn_constructor_kwargs={"width": 224, "height": 224, "real": not fake},
+        **kw,
     )
