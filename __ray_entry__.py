@@ -627,6 +627,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ],
         )
 
+    def validate_standard_events(sf_dir):
+        # JSON-schema conformance with error-channel output: props documents
+        # whose k exceeds 50 fail the standard and are diverted; the query
+        # returns the conforming main flow (SQL-expressible)
+        from wrangler_ray.directives.validation import register_standard
+
+        register_standard(
+            "props_k50",
+            {
+                "type": "object",
+                "required": ["k"],
+                "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}},
+            },
+        )
+        ds = _read(sf_dir, "events", columns=["event_id", "props"])
+        return apply_recipe(ds, ["validate-standard :props props_k50"])
+
     # -- invariant oracles for previously no_oracle operators ----------------
 
     def dedup_lsh_exact_invariant(sf_dir):
@@ -729,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_mega_part": column_mega_part,
         "dates_mega_events": dates_mega_events,
         "parser_mega_events": parser_mega_events,
+        "validate_standard_events": validate_standard_events,
         "dedup_lsh_exact_invariant": dedup_lsh_exact_invariant,
         "sample_reservoir_invariant": sample_reservoir_invariant,
         "similarity_lsh_exhaustive_invariant": similarity_lsh_exhaustive_invariant,
@@ -1064,6 +1082,11 @@ def oracle_sql() -> dict[str, str]:
                    props AS row_csv_2,
                    CAST(json_extract(props, '$.k') AS BIGINT) AS kval
             FROM events
+        """,
+        "validate_standard_events": """
+            SELECT event_id, props
+            FROM events
+            WHERE CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50
         """,
         "dedup_lsh_exact_invariant": """
             WITH keyed AS (

@@ -298,3 +298,42 @@ def test_set_variable_and_increment():
     ctx = DirectiveContext()
     ok, _ = directives[0].apply(t, ctx)
     assert ctx.variables["big"] == 2
+
+
+def test_pragma_load_directives_roundtrip():
+    """#pragma load-directives resolves names against the @directive registry
+    (grammar Directives.g4:98-104); unknown names fail at parse time."""
+    from wrangler_ray.core.errors import RecipeParseError
+    from wrangler_ray.parser.recipe import parse_recipe
+
+    calls = parse_recipe(
+        "#pragma version 2.0;\n"
+        "#pragma load-directives uppercase, drop;\n"
+        "uppercase :a;"
+    )
+    assert [c.name for c in calls] == ["uppercase"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(RecipeParseError, match="no-such-udd"):
+        parse_recipe("#pragma load-directives no-such-udd;\nuppercase :a;")
+    with _pytest.raises(RecipeParseError):
+        parse_recipe("#pragma load-directives ;")
+    with _pytest.raises(RecipeParseError):
+        parse_recipe("#pragma frobnicate x;")
+
+    # a registered custom directive resolves like a built-in (UDD surface)
+    from wrangler_ray.core.registry import Directive, directive
+
+    @directive("my-test-udd")
+    class MyUdd(Directive):
+        usage = "my-test-udd :col"
+
+        def __init__(self, call):
+            self.column = call.col(0)
+
+        def apply(self, table, ctx):
+            return self.ok(table)
+
+    calls = parse_recipe("#pragma load-directives my-test-udd;\nmy-test-udd :a;")
+    assert [c.name for c in calls] == ["my-test-udd"]

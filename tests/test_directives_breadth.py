@@ -443,3 +443,67 @@ def test_protobuf_packed_repeated_scalars():
     assert out["ds"] == [0.25, 9.0]
     assert out["fixed"] == [7, 9]
     assert out["negs"] == [-5]
+
+
+def test_validate_standard():
+    import json
+
+    from wrangler_ray.directives.validation import register_standard
+    from wrangler_ray.pipeline import DirectiveChain, compile_recipe
+
+    good = json.dumps({"name": "Ada", "email": "ada@x.io", "age": 36})
+    bad_email = json.dumps({"name": "Bob", "email": "not-an-email"})
+    missing_name = json.dumps({"email": "c@x.io"})
+    not_json = "{{{"
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "doc": [good, bad_email, missing_name, not_json, None],
+    })
+    chain = DirectiveChain(compile_recipe(["validate-standard :doc contact"]),
+                           on_error="tag")
+    out = chain(t)
+    from wrangler_ray.core.errors import ERROR_COLUMNS
+
+    err_mask = [v is not None for v in out.column("_wr_msg").to_pylist()]
+    ok_ids = [v for v, e in zip(out.column("id").to_pylist(), err_mask) if not e]
+    # null cell passes through (reference continue branch); 3 rows error
+    assert sorted(ok_ids) == [1, 5]
+    msgs = [m for m in out.column("_wr_msg").to_pylist() if m]
+    assert any("pattern" in m for m in msgs)
+    assert any("required property 'name' missing" in m for m in msgs)
+    assert any("not valid JSON" in m for m in msgs)
+
+    # custom standard registration + unknown-standard parse error
+    register_standard("point", {"type": "object",
+                                "required": ["x", "y"],
+                                "properties": {"x": {"type": "number"},
+                                               "y": {"type": "number"}}})
+    t2 = pa.table({"p": [json.dumps({"x": 1, "y": 2})]})
+    out2 = run(["validate-standard :p point"], t2)
+    assert out2.num_rows == 1
+    from wrangler_ray.core.errors import DirectiveError as DE
+
+    with pytest.raises(Exception):
+        compile_recipe(["validate-standard :p no_such_standard"])
+
+
+def test_validate_standard_schema_keywords():
+    from wrangler_ray.directives.validation import _Validator
+
+    v = _Validator({
+        "definitions": {"pos": {"type": "integer", "minimum": 0}},
+        "type": "object",
+        "properties": {
+            "n": {"$ref": "#/definitions/pos"},
+            "kind": {"enum": ["a", "b"]},
+            "mix": {"oneOf": [{"type": "string"}, {"type": "integer"}]},
+            "arr": {"type": "array", "items": {"type": "integer"}, "maxItems": 2},
+        },
+        "additionalProperties": False,
+    })
+    assert v.issues({"n": 3, "kind": "a", "mix": 5, "arr": [1, 2]}) == []
+    assert v.issues({"n": -1})  # minimum
+    assert v.issues({"kind": "z"})  # enum
+    assert v.issues({"mix": 1.5})  # oneOf: matches 0
+    assert v.issues({"arr": [1, 2, 3]})  # maxItems
+    assert v.issues({"zzz": 1})  # additionalProperties false

@@ -122,3 +122,193 @@ def test_vectorized_batch_path():
     expr = compile_expression("v * 2 + string:length(s)")
     out = expr.evaluate_table(t)
     assert list(out) == [3, 6, 9]
+
+
+# --- DateAndTime.java (DataStage family; parity cases ported from reference
+# wrangler-core/src/test/java/io/cdap/functions/DateAndTimeTest.java) --------
+
+def test_datetime_get_parse():
+    assert ev("datetime:GetDate('2008-08-18')") == dt.date(2008, 8, 18)
+    assert ev("datetime:GetTime('22:30:52')") == dt.time(22, 30, 52)
+    assert ev("datetime:GetDateTime('2008-08-18 22:30:52')") == dt.datetime(2008, 8, 18, 22, 30, 52)
+    combined = ev("datetime:GetDateTime(datetime:GetDate('2008-08-18'), datetime:GetTime('22:30:52'))")
+    assert combined == dt.datetime(2008, 8, 18, 22, 30, 52)
+
+
+def test_datetime_date_from_days_since():
+    assert ev("datetime:DateFromDaysSince(18250, datetime:GetDate('1958-08-18'))") == dt.date(2008, 8, 5)
+    assert ev("datetime:DateFromDaysSince(-1, datetime:GetDate('1958-08-18'))") == dt.date(1958, 8, 17)
+
+
+def test_datetime_date_from_components():
+    assert ev("datetime:DateFromComponents(2010, 12, 2)") == dt.date(2010, 12, 2)
+    assert ev("datetime:DateFromComponents(2020, 3, 7)") == dt.date(2020, 3, 7)
+
+
+def test_datetime_julian_day():
+    assert ev("datetime:DateFromJulianDay(2454614)") == dt.date(2008, 5, 27)
+    assert ev("datetime:JulianDayFromDate(datetime:GetDate('2008-05-27'))") == 2454614
+
+
+def test_datetime_date_offset_by_components():
+    assert ev("datetime:DateOffsetByComponents(datetime:GetDate('2011-08-18'), 2, 0, 0)") == dt.date(2013, 8, 18)
+    assert ev("datetime:DateOffsetByComponents(datetime:GetDate('2011-08-18'), 2, 1, -1)") == dt.date(2013, 9, 17)
+    assert ev("datetime:DateOffsetByComponents(datetime:GetDate('2011-08-18'), 2, 5, -1)") == dt.date(2014, 1, 17)
+
+
+def test_datetime_days_since_from_date():
+    assert ev("datetime:DaysSinceFromDate(datetime:GetDate('2008-08-18'), datetime:GetDate('1958-08-18'))") == -18263
+    assert ev("datetime:DaysSinceFromDate(datetime:GetDate('1958-08-18'), datetime:GetDate('2008-08-18'))") == 18263
+
+
+def test_datetime_days_in_month_year():
+    # Java Month.maxLength: February reports 29 in ANY year
+    assert ev("datetime:DaysInMonth(datetime:GetDate('2011-02-18'))") == 29
+    assert ev("datetime:DaysInMonth(datetime:GetDate('2011-08-18'))") == 31
+    assert ev("datetime:DaysInYear(datetime:GetDate('2012-08-18'))") == 366
+    assert ev("datetime:DaysInYear(datetime:GetDate('2011-08-18'))") == 365
+
+
+def test_datetime_date_offset_by_days():
+    assert ev("datetime:DateOffsetByDays(datetime:GetDate('2011-08-18'), 2)") == dt.date(2011, 8, 20)
+    assert ev("datetime:DateOffsetByDays(datetime:GetDate('2011-08-18'), -31)") == dt.date(2011, 7, 18)
+
+
+def test_datetime_time_parts():
+    assert ev("datetime:HoursFromTime(datetime:GetTime('22:30:52'))") == 22
+    assert ev("datetime:MinutesFromTime(datetime:GetTime('22:30:52'))") == 30
+    assert ev("datetime:SecondsFromTime(datetime:GetTime('22:30:52'))") == 52
+    assert ev("datetime:NanoSecondsFromTime(datetime:GetTime('00:30:52.32'))") == 320000000
+    assert ev("datetime:MicroSecondsFromTime(datetime:GetTime('00:30:52.32'))") == 320000
+    assert ev("datetime:MilliSecondsFromTime(datetime:GetTime('00:30:52.32'))") == 320
+    assert ev("datetime:MidnightSecondsFromTime(datetime:GetTime('00:30:52'))") == 1852
+
+
+def test_datetime_month_parts():
+    assert ev("datetime:MonthDayFromDate(datetime:GetDate('2008-08-18'))") == 18
+    assert ev("datetime:MonthFromDate(datetime:GetDate('2008-08-18'))") == 8
+    assert ev("datetime:YearFromDate(datetime:GetDate('2008-08-18'))") == 2008
+    assert ev("datetime:YeardayFromDate(datetime:GetDate('2008-08-18'))") == 231
+
+
+def test_datetime_weekday_navigation():
+    # 2008-08-18 is a Monday; next thursday = 2008-08-21
+    assert ev("datetime:NextWeekdayFromDate(datetime:GetDate('2008-08-18'), 'thursday')") == dt.date(2008, 8, 21)
+    assert ev("datetime:NextWeekdayFromDate(datetime:GetDate('2008-08-18'), 'thu')") == dt.date(2008, 8, 21)
+    # next monday from a monday is strictly one week later
+    assert ev("datetime:NextWeekdayFromDate(datetime:GetDate('2008-08-18'), 'monday')") == dt.date(2008, 8, 25)
+    assert ev("datetime:PreviousWeekdayFromDate(datetime:GetDate('2008-08-18'), 'thursday')") == dt.date(2008, 8, 14)
+    assert ev("datetime:PreviousWeekdayFromDate(datetime:GetDate('2008-08-18'), 'monday')") == dt.date(2008, 8, 11)
+    assert ev("datetime:NthWeekdayFromDate(datetime:GetDate('2009-08-18'), 'thursday', 1)") == dt.date(2009, 8, 20)
+    assert ev("datetime:NthWeekdayFromDate(datetime:GetDate('2009-08-18'), 'thursday', -2)") == dt.date(2009, 8, 6)
+
+
+def test_datetime_seconds_since():
+    assert ev(
+        "datetime:SecondsSinceFromDateTime(datetime:GetDateTime('2008-08-18 22:30:52'),"
+        " datetime:GetDateTime('2008-08-18 22:30:02'))"
+    ) == 50
+    assert ev(
+        "datetime:SecondsSinceFromDateTime(datetime:GetDateTime('2008-08-18 22:30:02'),"
+        " datetime:GetDateTime('2008-08-18 22:30:52'))"
+    ) == -50
+
+
+def test_datetime_time_builders():
+    assert ev("datetime:TimeFromComponents(10, 23, 12, 0)") == dt.time(10, 23, 12)
+    assert ev("datetime:TimeFromMidnightSeconds(1852)") == dt.time(0, 30, 52)
+    assert ev("datetime:TimeOffsetByComponents(datetime:GetTime('14:05:29'), 2, 0, 20)") == dt.time(16, 5, 49)
+
+
+def test_datetime_datetime_builders():
+    assert ev(
+        "datetime:DateTimeFromSecondsSince(50, datetime:GetDateTime('2008-08-18 22:30:02'))"
+    ) == dt.datetime(2008, 8, 18, 22, 30, 52)
+    assert ev("datetime:DateTimeFromEpoch(1234567890)") == dt.datetime(2009, 2, 13, 23, 31, 30)
+    assert ev(
+        "datetime:DateTimeFromTime(datetime:GetTime('12:00:01'), datetime:GetDateTime('2008-08-18 22:30:52'))"
+    ) == dt.datetime(2008, 8, 18, 12, 0, 1)
+    assert ev(
+        "datetime:DateTimeOffsetByComponents(datetime:GetDateTime('2011-08-18 14:05:29'), 0, 1, 0, 1, 0, 0)"
+    ) == dt.datetime(2011, 9, 18, 15, 5, 29)
+    assert ev(
+        "datetime:DateTimeOffsetBySeconds(datetime:GetDateTime('2011-08-18 14:05:29'), 32)"
+    ) == dt.datetime(2011, 8, 18, 14, 6, 1)
+
+
+def test_datetime_epochs():
+    assert ev("datetime:EpochFromDateTime(datetime:GetDateTime('2009-02-13 23:31:30'))") == 1234567890
+    assert ev("datetime:EpochFromTimestamp(datetime:GetDateTime('2009-02-13 23:31:30'))") == 1234567890
+
+
+def test_datetime_weekday_numbers():
+    # 2008-08-18 is Monday; with default Sunday start → 7 - 1 + 1 = 7?
+    # Java: previousOrSame(SUNDAY) of Mon 18th = Sun 17th, dayValue(SUN)=7 → 7-7+1=1
+    assert ev("datetime:WeekdayFromDate(datetime:GetDate('2008-08-18'))") == 1
+    assert ev("datetime:WeekdayFromDate(datetime:GetDate('2008-08-18'), 'monday')") == 7
+    # YearweekFromDate: WeekFields(MONDAY, 7)
+    assert ev("datetime:YearweekFromDate(datetime:GetDate('2008-08-18'))") == 33
+
+
+def test_dates_java_additions():
+    d = dt.datetime(2008, 8, 18, 22, 30, 52)
+    assert ev("date:MONTH_SHORT(a)", a=d) == "Aug"
+    assert ev("date:MONTH_LONG(a)", a=d) == "August"
+    assert ev("date:DAY_OF_WEEK_SHORT(a)", a=d) == "Mon"
+    assert ev("date:DAY_OF_WEEK_LONG(a)", a=d) == "Monday"
+    assert ev("date:DAY_OF_YEAR(a)", a=d) == 231
+    assert ev("date:ERA(a)", a=d) == 1
+    assert ev("date:ERA_SHORT(a)", a=d) == "AD"
+    assert ev("date:SECONDS_TO_DAYS(a)", a=190800) == 2
+    assert ev("date:SECONDS_TO_HOURS(a)", a=190800) == 53
+    assert ev("date:SECONDS_TO_MINUTES(a)", a=190800) == 3180
+    assert ev("date:SECONDS_TO_WEEKS(a)", a=1296000) == 2
+    assert bool(ev("date:isDate(a)", a="2008-08-18")) is True
+    assert bool(ev("date:isDate(a)", a="not a date")) is False
+    assert bool(ev("date:isTime(a)", a="22:30:52")) is True
+
+
+def test_geo_infence():
+    import json
+
+    fence = json.dumps({
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature",
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [[
+                    [-122.05, 37.37], [-122.05, 37.41],
+                    [-121.99, 37.41], [-121.99, 37.37], [-122.05, 37.37]
+                ]]
+            }
+        }]
+    })
+    assert bool(ev("geo:InFence(37.39, -122.02, fence)", fence=fence)) is True
+    assert bool(ev("geo:InFence(37.50, -122.02, fence)", fence=fence)) is False
+    assert bool(ev("geo:InFence(a, -122.02, fence)", a=None, fence=fence)) is False
+
+
+def test_ddl_functions():
+    import json
+
+    schema = json.dumps({
+        "type": "record", "name": "rec", "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "c", "type": {"type": "record", "name": "inner", "fields": [
+                {"name": "x", "type": "long"}]}},
+        ]})
+    assert bool(ev("ddl:hasField(ddl:parse(s), 'a')", s=schema)) is True
+    assert bool(ev("ddl:hasField(ddl:parse(s), 'zzz')", s=schema)) is False
+    dropped = ev("ddl:drop(ddl:parse(s), 'a')", s=schema)
+    assert [f["name"] for f in dropped["fields"]] == ["b", "c"]
+    nested = ev("ddl:drop(ddl:parse(s), 'c.x')", s=schema)
+    assert nested["fields"][2]["type"]["fields"] == []
+    assert ev("ddl:select(ddl:parse(s), 'b')", s=schema) == "string"
+    assert ev("ddl:select(ddl:parse(s), 'c.x')", s=schema) == "long"
+    sql_schema = ev("ddl:parsesql(s)", s="select a int, b from table t")
+    assert [f["name"] for f in sql_schema["fields"]] == ["a", "b"]
+    assert "int" in sql_schema["fields"][0]["type"]
+    js = ev("ddl:toJson(ddl:parse(s))", s=schema)
+    assert json.loads(js)["name"] == "rec"

@@ -176,7 +176,22 @@ def test_split_email_reference_corpus():
 # --- parser/GrammarBasedParserTest.java ------------------------------------
 
 def test_pragmas_and_comments_ignored():
+    from wrangler_ray.core.registry import Directive, directive
     from wrangler_ray.parser.recipe import parse_recipe
+
+    # the reference's classic UDD examples; #pragma load-directives resolves
+    # them against the registry (Directives.g4:98-104), so register them like
+    # a UDD artifact would
+    for name in ("text-reverse", "text-exchange"):
+        @directive(name)
+        class _Udd(Directive):  # noqa: B023
+            usage = f"{name} :col"
+
+            def __init__(self, call):
+                self.column = call.col(0)
+
+            def apply(self, table, ctx):
+                return self.ok(table)
 
     calls = parse_recipe(
         [

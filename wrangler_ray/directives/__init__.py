@@ -8,3 +8,4 @@ from wrangler_ray.directives import dates  # noqa: F401
 from wrangler_ray.directives import expressions  # noqa: F401
 from wrangler_ray.directives import lookup  # noqa: F401
 from wrangler_ray.directives import writers  # noqa: F401
+from wrangler_ray.directives import validation  # noqa: F401

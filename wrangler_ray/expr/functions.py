@@ -449,13 +449,765 @@ def _d_now():
     return _dt.datetime.now()
 
 
-@expr_function("datetime:DaysInMonth")
-@elementwise
-def _d_days_in_month(v):
+# ---------------------------------------------------------------------------
+# datetime: DataStage family (reference functions/DateAndTime.java — the full
+# corpus; parity cases from wrangler-core DateAndTimeTest.java)
+# ---------------------------------------------------------------------------
+
+_MONTH_MAX_LEN = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]  # Java Month.maxLength
+_DOW = {
+    "MON": 0, "MONDAY": 0, "TUE": 1, "TUESDAY": 1, "WED": 2, "WEDNESDAY": 2,
+    "THU": 3, "THURSDAY": 3, "FRI": 4, "FRIDAY": 4, "SAT": 5, "SATUDAY": 5,
+    "SATURDAY": 5, "SUN": 6, "SUNDAY": 6,
+}
+
+
+def _as_date(v):
+    """LocalDate-ish: date / datetime / 'yyyy-MM-dd[ HH:mm:ss[.f]]' string."""
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        return v.date()
+    if isinstance(v, _dt.date):
+        return v
+    if isinstance(v, str):
+        return _dt.datetime.fromisoformat(v).date()
+    if isinstance(v, np.datetime64):
+        return v.astype("datetime64[us]").astype(_dt.datetime).date()
+    return None
+
+
+def _as_time(v):
+    """LocalTime-ish: time / datetime / 'HH:mm:ss[.f]' string."""
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        return v.time()
+    if isinstance(v, _dt.time):
+        return v
+    if isinstance(v, str):
+        return _dt.time.fromisoformat(v)
+    return None
+
+
+def _as_dtt(v):
+    """LocalDateTime-ish: datetime / date / string / epoch number."""
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime.combine(v, _dt.time())
+    if isinstance(v, str):
+        return _dt.datetime.fromisoformat(v)
+    if isinstance(v, (int, float)):
+        return _dt.datetime.utcfromtimestamp(v)
+    if isinstance(v, np.datetime64):
+        return v.astype("datetime64[us]").astype(_dt.datetime)
+    return None
+
+
+def _plus_months(d, months: int):
+    """Java plusMonths: clamp day-of-month to the target month's length."""
     import calendar
 
+    y = d.year + (d.month - 1 + months) // 12
+    m = (d.month - 1 + months) % 12 + 1
+    day = min(d.day, calendar.monthrange(y, m)[1])
+    return d.replace(year=y, month=m, day=day)
+
+
+def _plus_years(d, years: int):
+    return _plus_months(d, years * 12)
+
+
+@expr_function("datetime:GetDate")
+@elementwise
+def _dt_getdate(s):
+    return None if s is None else _as_date(s)
+
+
+@expr_function("datetime:GetTime")
+@elementwise
+def _dt_gettime(s):
+    return None if s is None else _as_time(s)
+
+
+@expr_function("datetime:GetDateTime")
+@elementwise
+def _dt_getdatetime(a, b=None):
+    # 1-arg: parse a datetime string; 2-arg: combine (date, time)
+    if b is None:
+        return None if a is None else _as_dtt(a)
+    da, tb = _as_date(a), _as_time(b)
+    return None if da is None or tb is None else _dt.datetime.combine(da, tb)
+
+
+@expr_function("datetime:CurrentDate")
+def _dt_currentdate():
+    return _dt.date.today()
+
+
+@expr_function("datetime:CurrentTime")
+def _dt_currenttime():
+    return _dt.datetime.now().time()
+
+
+@expr_function("datetime:CurrentTimeMS")
+def _dt_currenttimems():
+    t = _dt.datetime.now().time()
+    return ((t.hour * 60 + t.minute) * 60 + t.second) * 1000 + t.microsecond // 1000
+
+
+@expr_function("datetime:CurrentDateTime")
+def _dt_currentdatetime():
+    return _dt.datetime.now()
+
+
+@expr_function("datetime:CurrentTimestamp")
+def _dt_currenttimestamp():
+    return _dt.datetime.now(_dt.timezone.utc)
+
+
+@expr_function("datetime:EpochSeconds")
+def _dt_epochseconds():
+    import time as _time
+
+    return int(_time.time())
+
+
+@expr_function("datetime:CurrentTimestampMS")
+def _dt_currenttimestampms():
+    import time as _time
+
+    return int(_time.time() * 1000)
+
+
+@expr_function("datetime:CurrentTimestampNano")
+def _dt_currenttimestampnano():
+    # reference returns Instant.now().getNano() — the NANO-OF-SECOND field
+    return _dt.datetime.now().microsecond * 1000
+
+
+@expr_function("datetime:TimeDate")
+def _dt_timedate():
+    # OUTPUT_DATETIME_FORMAT = "HH:mm:ss dd MMM yyyy"
+    return _dt.datetime.now().strftime("%H:%M:%S %d %b %Y")
+
+
+@expr_function("datetime:DateFromDaysSince")
+@elementwise
+def _dt_datefromdayssince(days, baseline=None):
+    base = _as_date(baseline) if baseline is not None else _dt.date.today()
+    if base is None:
+        base = _dt.date.today()
+    return base + _dt.timedelta(days=int(days) if days is not None else 0)
+
+
+@expr_function("datetime:DateFromComponents")
+@elementwise
+def _dt_datefromcomponents(year, month, day):
+    if year is None or month is None or day is None:
+        return None
+    return _dt.date(int(year), int(month), int(day))
+
+
+@expr_function("datetime:DateFromJulianDay")
+@elementwise
+def _dt_datefromjulianday(jd):
+    # joda fromJulianDay: ms = (jd - 2440587.5) * 86400000 → date part
+    v = float(jd) if jd is not None else 0.0
+    dtv = _dt.datetime(1970, 1, 1) + _dt.timedelta(days=v - 2440587.5)
+    return dtv.date()
+
+
+@expr_function("datetime:DateOffsetByComponents")
+@elementwise
+def _dt_dateoffsetbycomponents(baseline, y, m, d):
+    b = _as_date(baseline)
+    if b is None:
+        return None
+    b = _plus_years(b, int(y) if y is not None else 0)
+    b = _plus_months(b, int(m) if m is not None else 0)
+    return b + _dt.timedelta(days=int(d) if d is not None else 0)
+
+
+@expr_function("datetime:DaysSinceFromDate")
+@elementwise
+def _dt_dayssincefromdate(source, destination):
+    s, d = _as_date(source), _as_date(destination)
+    return None if s is None or d is None else (d - s).days
+
+
+@expr_function("datetime:DaysInMonth")
+@elementwise
+def _dt_daysinmonth(v):
+    # Java Month.maxLength(): February is ALWAYS 29 (max over leap years) —
+    # reference DateAndTime.java:290
+    d = _as_date(v)
+    return None if d is None else _MONTH_MAX_LEN[d.month - 1]
+
+
+@expr_function("datetime:DaysInYear")
+@elementwise
+def _dt_daysinyear(v):
+    import calendar
+
+    d = _as_date(v)
+    return None if d is None else 366 if calendar.isleap(d.year) else 365
+
+
+@expr_function("datetime:DateOffsetByDays")
+@elementwise
+def _dt_dateoffsetbydays(v, off):
+    d = _as_date(v)
+    return None if d is None else d + _dt.timedelta(days=int(off) if off is not None else 0)
+
+
+@expr_function("datetime:HoursFromTime")
+@elementwise
+def _dt_hoursfromtime(v):
+    t = _as_time(v)
+    return None if t is None else t.hour
+
+
+@expr_function("datetime:JulianDayFromDate")
+@elementwise
+def _dt_juliandayfromdate(v):
+    d = _as_date(v)
+    if d is None:
+        return None
+    days = (d - _dt.date(1970, 1, 1)).days
+    return int(_math.floor(days + 2440587.5 + 0.5))
+
+
+@expr_function("datetime:NanoSecondsFromTime")
+@elementwise
+def _dt_nanosecondsfromtime(v):
+    t = _as_time(v)
+    return None if t is None else t.microsecond * 1000
+
+
+@expr_function("datetime:MicroSecondsFromTime")
+@elementwise
+def _dt_microsecondsfromtime(v):
+    t = _as_time(v)
+    return None if t is None else t.microsecond
+
+
+@expr_function("datetime:MilliSecondsFromTime")
+@elementwise
+def _dt_millisecondsfromtime(v):
+    t = _as_time(v)
+    return None if t is None else t.microsecond // 1000
+
+
+@expr_function("datetime:MidnightSecondsFromTime")
+@elementwise
+def _dt_midnightsecondsfromtime(v):
+    t = _as_time(v)
+    return None if t is None else (t.hour * 60 + t.minute) * 60 + t.second
+
+
+@expr_function("datetime:MinutesFromTime")
+@elementwise
+def _dt_minutesfromtime(v):
+    t = _as_time(v)
+    return None if t is None else t.minute
+
+
+@expr_function("datetime:SecondsFromTime")
+@elementwise
+def _dt_secondsfromtime(v):
+    t = _as_time(v)
+    return None if t is None else t.second
+
+
+@expr_function("datetime:MonthDayFromDate")
+@elementwise
+def _dt_monthdayfromdate(v):
+    d = _as_date(v)
+    return None if d is None else d.day
+
+
+@expr_function("datetime:MonthFromDate")
+@elementwise
+def _dt_monthfromdate(v):
+    d = _as_date(v)
+    return None if d is None else d.month
+
+
+@expr_function("datetime:NextWeekdayFromDate")
+@elementwise
+def _dt_nextweekdayfromdate(source, dow):
+    d = _as_date(source)
+    if d is None:
+        return None
+    if dow is None:
+        return d
+    target = _DOW.get(str(dow).upper(), 6)
+    delta = (target - d.weekday() - 1) % 7 + 1  # strictly next
+    return d + _dt.timedelta(days=delta)
+
+
+@expr_function("datetime:PreviousWeekdayFromDate")
+@elementwise
+def _dt_previousweekdayfromdate(source, dow):
+    d = _as_date(source)
+    if d is None:
+        return None
+    if dow is None:
+        return d
+    target = _DOW.get(str(dow).upper(), 6)
+    delta = (d.weekday() - target - 1) % 7 + 1  # strictly previous
+    return d - _dt.timedelta(days=delta)
+
+
+@expr_function("datetime:NthWeekdayFromDate")
+@elementwise
+def _dt_nthweekdayfromdate(source, dow, offset):
+    d = _as_date(source)
+    if d is None or dow is None:
+        return d
+    n = int(offset) if offset is not None else 0
+    for _ in range(abs(n)):
+        d = (_dt_nextweekdayfromdate.__wrapped__(d, dow) if n > 0
+             else _dt_previousweekdayfromdate.__wrapped__(d, dow))
+    return d
+
+
+@expr_function("datetime:SecondsSinceFromDateTime")
+@elementwise
+def _dt_secondssincefromdatetime(source, destination):
+    s, d = _as_dtt(source), _as_dtt(destination)
+    if s is None or d is None:
+        return None
+    # Duration.between(destination, source).getSeconds() — floor division
+    return int(_math.floor((s - d).total_seconds()))
+
+
+@expr_function("datetime:TimeFromComponents")
+@elementwise
+def _dt_timefromcomponents(hours, mins, seconds, microseconds):
+    if hours is None or mins is None or seconds is None or microseconds is None:
+        return None
+    return _dt.time(int(hours), int(mins), int(seconds), int(microseconds))
+
+
+@expr_function("datetime:TimeFromMidnightSeconds")
+@elementwise
+def _dt_timefrommidnightseconds(seconds):
+    s = int(seconds) if seconds is not None else 0
+    base = _dt.datetime(2000, 1, 1) + _dt.timedelta(seconds=s)
+    return base.time()
+
+
+@expr_function("datetime:TimeOffsetByComponents")
+@elementwise
+def _dt_timeoffsetbycomponents(time, hour, minute, seconds):
+    t = _as_time(time)
+    if t is None:
+        return None
+    total = (
+        ((t.hour + (int(hour) if hour is not None else 0)) * 60
+         + t.minute + (int(minute) if minute is not None else 0)) * 60
+        + t.second + (int(seconds) if seconds is not None else 0)
+    ) % 86400
+    return _dt.time(total // 3600, total % 3600 // 60, total % 60, t.microsecond)
+
+
+@expr_function("datetime:DateTimeFromSecondsSince")
+@elementwise
+def _dt_datetimefromsecondssince(seconds, time):
+    t = _as_dtt(time)
+    if t is None:
+        return None
+    return t + _dt.timedelta(seconds=int(seconds) if seconds is not None else 0)
+
+
+@expr_function("datetime:DateTimeFromEpoch")
+@elementwise
+def _dt_datetimefromepoch(epoch):
+    return None if epoch is None else _dt.datetime.utcfromtimestamp(int(epoch))
+
+
+@expr_function("datetime:DateTimeFromTime")
+@elementwise
+def _dt_datetimefromtime(time, datetime_):
+    d = _as_dtt(datetime_)
+    if d is None:
+        return None
+    t = _as_time(time)
+    if t is None:
+        return d
+    return d.replace(hour=t.hour, minute=t.minute, second=t.second,
+                     microsecond=t.microsecond)
+
+
+@expr_function("datetime:DateTimeOffsetByComponents")
+@elementwise
+def _dt_datetimeoffsetbycomponents(datetime_, y, mo, d, h, mi, s):
+    b = _as_dtt(datetime_)
+    if b is None:
+        return None
+    b = _plus_years(b, int(y) if y is not None else 0)
+    b = _plus_months(b, int(mo) if mo is not None else 0)
+    return b + _dt.timedelta(
+        days=int(d) if d is not None else 0,
+        hours=int(h) if h is not None else 0,
+        minutes=int(mi) if mi is not None else 0,
+        seconds=int(s) if s is not None else 0,
+    )
+
+
+@expr_function("datetime:DateTimeOffsetBySeconds")
+@elementwise
+def _dt_datetimeoffsetbyseconds(datetime_, seconds):
+    b = _as_dtt(datetime_)
+    if b is None:
+        return None
+    return b + _dt.timedelta(seconds=int(seconds) if seconds is not None else 0)
+
+
+@expr_function("datetime:EpochFromDateTime")
+@elementwise
+def _dt_epochfromdatetime(datetime_):
+    d = _as_dtt(datetime_)
+    if d is None:
+        return None
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    return int(_math.floor(d.timestamp()))
+
+
+@expr_function("datetime:EpochFromTimestamp")
+@elementwise
+def _dt_epochfromtimestamp(ts):
+    return _dt_epochfromdatetime.__wrapped__(ts)
+
+
+@expr_function("datetime:WeekdayFromDate")
+@elementwise
+def _dt_weekdayfromdate(v, start_of_week="Sunday"):
+    d = _as_date(v)
+    if d is None:
+        return None
+    if start_of_week is None:
+        dow_val = d.weekday() + 1  # java DayOfWeek.getValue: Mon=1..Sun=7
+    else:
+        target = _DOW.get(str(start_of_week).upper(), 6)
+        prev_or_same = d - _dt.timedelta(days=(d.weekday() - target) % 7)
+        dow_val = prev_or_same.weekday() + 1
+    return 7 - dow_val + 1
+
+
+@expr_function("datetime:YeardayFromDate")
+@elementwise
+def _dt_yeardayfromdate(v):
+    d = _as_date(v)
+    return None if d is None else d.timetuple().tm_yday
+
+
+@expr_function("datetime:YearFromDate")
+@elementwise
+def _dt_yearfromdate(v):
+    d = _as_date(v)
+    return None if d is None else d.year
+
+
+@expr_function("datetime:YearweekFromDate")
+@elementwise
+def _dt_yearweekfromdate(v):
+    # WeekFields(MONDAY, minimalDays=7): week 1 starts at the first Monday of
+    # the year; earlier days belong to the previous week-based year
+    d = _as_date(v)
+    if d is None:
+        return None
+
+    def first_monday(y):
+        j = _dt.date(y, 1, 1)
+        return j + _dt.timedelta(days=(7 - j.weekday()) % 7)
+
+    fm = first_monday(d.year)
+    if d < fm:
+        fm = first_monday(d.year - 1)
+    return (d - fm).days // 7 + 1
+
+
+# ---------------------------------------------------------------------------
+# date: remaining Dates.java corpus (reference functions/Dates.java)
+# ---------------------------------------------------------------------------
+
+_MONTH_SHORT = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+_MONTH_LONG = ["January", "February", "March", "April", "May", "June", "July",
+               "August", "September", "October", "November", "December"]
+_DOW_SHORT = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+_DOW_LONG = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+             "Saturday", "Sunday"]
+
+
+@expr_function("date:MONTH_SHORT")
+@elementwise
+def _d_month_short(v):
     d = _as_dt(v)
-    return None if d is None else calendar.monthrange(d.year, d.month)[1]
+    return None if d is None else _MONTH_SHORT[d.month - 1]
+
+
+@expr_function("date:MONTH_LONG")
+@elementwise
+def _d_month_long(v):
+    d = _as_dt(v)
+    return None if d is None else _MONTH_LONG[d.month - 1]
+
+
+@expr_function("date:DAY_OF_WEEK_SHORT")
+@elementwise
+def _d_dow_short(v):
+    d = _as_dt(v)
+    return None if d is None else _DOW_SHORT[d.weekday()]
+
+
+@expr_function("date:DAY_OF_WEEK_LONG")
+@elementwise
+def _d_dow_long(v):
+    d = _as_dt(v)
+    return None if d is None else _DOW_LONG[d.weekday()]
+
+
+@expr_function("date:DAY_OF_YEAR")
+@elementwise
+def _d_day_of_year(v):
+    d = _as_dt(v)
+    return None if d is None else d.timetuple().tm_yday
+
+
+@expr_function("date:ERA")
+@elementwise
+def _d_era(v):
+    d = _as_dt(v)
+    return None if d is None else (1 if d.year > 0 else 0)
+
+
+@expr_function("date:ERA_SHORT")
+@elementwise
+def _d_era_short(v):
+    d = _as_dt(v)
+    return None if d is None else ("AD" if d.year > 0 else "BC")
+
+
+@expr_function("date:ERA_LONG")
+@elementwise
+def _d_era_long(v):
+    d = _as_dt(v)
+    return None if d is None else ("AD" if d.year > 0 else "BC")
+
+
+@expr_function("date:DAYS_BETWEEN_NOW")
+@elementwise
+def _d_days_between_now(v):
+    d = _as_dt(v)
+    if d is None:
+        return None
+    now = _dt.datetime.utcnow()
+    return int((now - d).total_seconds() // 86400)
+
+
+@expr_function("date:SECONDS_TO_DAYS")
+@elementwise
+def _d_seconds_to_days(s):
+    return None if s is None else int(s) // 86400
+
+
+@expr_function("date:SECONDS_TO_HOURS")
+@elementwise
+def _d_seconds_to_hours(s):
+    return None if s is None else int(s) // 3600
+
+
+@expr_function("date:SECONDS_TO_MINUTES")
+@elementwise
+def _d_seconds_to_minutes(s):
+    return None if s is None else int(s) // 60
+
+
+@expr_function("date:SECONDS_TO_WEEKS")
+@elementwise
+def _d_seconds_to_weeks(s):
+    return None if s is None else int(s) // 604800
+
+
+@expr_function("date:isDate")
+@elementwise
+def _d_isdate(v):
+    if not isinstance(v, str):
+        return False
+    try:
+        _dt.datetime.fromisoformat(v)
+        return True
+    except ValueError:
+        return False
+
+
+@expr_function("date:isTime")
+@elementwise
+def _d_istime(v):
+    if not isinstance(v, str):
+        return False
+    try:
+        _dt.time.fromisoformat(v)
+        return True
+    except ValueError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# geo: (reference functions/GeoFences.java — winding-number point-in-polygon
+# over GeoJSON FeatureCollection strings)
+# ---------------------------------------------------------------------------
+
+def _wn_inside(lat, lon, ring):
+    """Winding number over one polygon ring ([[lon, lat], ...]) — the exact
+    algorithm of GeoFences.isPointInside (reference GeoFences.java:90-117)."""
+    wn = 0
+    for i in range(len(ring) - 1):
+        lat0, lon0 = ring[i][1], ring[i][0]
+        lat1, lon1 = ring[i + 1][1], ring[i + 1][0]
+        is_left = (lon1 - lon0) * (lat - lat0) - (lon - lon0) * (lat1 - lat0)
+        if lat0 <= lat:
+            if lat1 > lat and is_left > 0.0:
+                wn += 1
+        elif lat1 <= lat and is_left < 0.0:
+            wn -= 1
+    return wn != 0
+
+
+@expr_function("geo:InFence", "geo:inFence")
+@elementwise
+def _geo_infence(latitude, longitude, geofences):
+    if latitude is None or longitude is None or geofences is None:
+        return False
+    try:
+        fc = _json.loads(geofences) if isinstance(geofences, str) else geofences
+    except ValueError as e:
+        raise ValueError(f"String {geofences!r} is not a valid Json string") from e
+    feats = fc.get("features", [fc] if fc.get("geometry") else [])
+    inzone = False
+    for feat in feats:
+        geom = feat.get("geometry", feat)
+        if geom.get("type") != "Polygon":
+            continue
+        rings = geom.get("coordinates") or []
+        if rings:
+            inzone = inzone or _wn_inside(float(latitude), float(longitude), rings[0])
+    return inzone
+
+
+# ---------------------------------------------------------------------------
+# ddl: (reference functions/DDL.java — schema manipulation. The reference
+# operates on CDAP Schema/StructuredRecord objects; this engine's analog is
+# Avro-style JSON schemas (dict or JSON string), which is what parse-as-avro
+# registers. select/drop address fields by dotted path.)
+# ---------------------------------------------------------------------------
+
+def _ddl_schema(v):
+    if isinstance(v, str):
+        return _json.loads(v)
+    return v
+
+
+def _ddl_fields(schema):
+    if isinstance(schema, dict) and schema.get("type") == "record":
+        return schema.get("fields", [])
+    return []
+
+
+@expr_function("ddl:parse")
+@elementwise
+def _ddl_parse(v):
+    s = _ddl_schema(v)
+    if not isinstance(s, dict) or "type" not in s:
+        raise ValueError("ddl:parse expects an Avro-style JSON schema")
+    return s
+
+
+@expr_function("ddl:parsesql")
+@elementwise
+def _ddl_parsesql(sql):
+    """SELECT-list → record schema (reference DDL.parsesql builds a Schema
+    from a SQL projection). Columns default to nullable string; 'col type'
+    pairs map int/long/float/double/boolean/bytes/string."""
+    if sql is None:
+        return None
+    m = _re.search(r"select\s+(.*?)\s+from\s", sql, _re.IGNORECASE | _re.DOTALL)
+    cols = (m.group(1) if m else sql).split(",")
+    fields = []
+    for c in cols:
+        parts = c.strip().split()
+        if not parts:
+            continue
+        name = parts[-1] if len(parts) > 1 and parts[-2].lower() == "as" else parts[0]
+        typ = (parts[1].lower() if len(parts) == 2 else "string")
+        if typ not in ("int", "long", "float", "double", "boolean", "bytes", "string"):
+            typ = "string"
+        fields.append({"name": name.strip('"`'), "type": ["null", typ]})
+    return {"type": "record", "name": "sql", "fields": fields}
+
+
+@expr_function("ddl:toJson")
+@elementwise
+def _ddl_tojson(v):
+    return _json.dumps(_ddl_schema(v), sort_keys=True)
+
+
+@expr_function("ddl:hasField")
+@elementwise
+def _ddl_hasfield(schema, name):
+    s = _ddl_schema(schema)
+    return any(f.get("name") == name for f in _ddl_fields(s))
+
+
+def _ddl_drop_one(schema, path):
+    s = dict(_ddl_schema(schema))
+    head, _, rest = path.partition(".")
+    fields = []
+    for f in _ddl_fields(s):
+        if f.get("name") != head:
+            fields.append(f)
+        elif rest:
+            sub = f.get("type")
+            if isinstance(sub, dict) and sub.get("type") == "record":
+                fields.append(dict(f, type=_ddl_drop_one(sub, rest)))
+        # else: drop the field entirely
+    s["fields"] = fields
+    return s
+
+
+@expr_function("ddl:drop")
+@elementwise
+def _ddl_drop(schema, *paths):
+    s = _ddl_schema(schema)
+    for p in paths:
+        s = _ddl_drop_one(s, p)
+    return s
+
+
+@expr_function("ddl:select")
+@elementwise
+def _ddl_select(schema, path):
+    s = _ddl_schema(schema)
+    head, _, rest = path.partition(".")
+    for f in _ddl_fields(s):
+        if f.get("name") == head:
+            t = f.get("type")
+            if isinstance(t, list):  # nullable union → inner type
+                t = next((x for x in t if x != "null"), t)
+            if rest:
+                if isinstance(t, dict) and t.get("type") == "record":
+                    return _ddl_select.__wrapped__(t, rest)
+                raise ValueError(f"path '{path}': '{head}' is not a record")
+            return t
+    raise ValueError(f"field '{head}' not present in schema")
 
 
 # ---------------------------------------------------------------------------

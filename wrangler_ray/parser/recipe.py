@@ -399,6 +399,36 @@ def parse_recipe(recipe: str | list[str]) -> list[DirectiveCall]:
     calls = []
     for st in statements:
         if st.startswith("#pragma"):
+            _handle_pragma(st)
             continue
         calls.append(tokenize_statement(st))
     return calls
+
+
+def _handle_pragma(stmt: str) -> None:
+    """Wire ``#pragma`` statements against the in-process registry (grammar
+    Directives.g4:98-104). ``load-directives a, b`` is the UDD loading hook —
+    every name must resolve in the ``@directive`` registry (all directives,
+    built-in and user-defined, live there; there is no external plugin
+    artifact to fetch), and unknown names fail at PARSE time like the
+    reference's DirectiveParseException. ``#pragma version`` is accepted and
+    ignored."""
+    body = stmt[len("#pragma"):].strip().rstrip(";").strip()
+    if body.startswith("version"):
+        return
+    if body.startswith("load-directives"):
+        from wrangler_ray.core.registry import registered_directives
+
+        registry = registered_directives()
+        names = [n.strip() for n in body[len("load-directives"):].split(",")]
+        names = [n for n in names if n]
+        if not names:
+            raise RecipeParseError("#pragma load-directives: no directive names")
+        unknown = [n for n in names if n not in registry]
+        if unknown:
+            raise RecipeParseError(
+                f"#pragma load-directives: unknown directive(s) "
+                f"{', '.join(unknown)} — not found in the @directive registry"
+            )
+        return
+    raise RecipeParseError(f"unknown #pragma: {body.split()[0] if body else ''!r}")
