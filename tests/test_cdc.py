@@ -478,3 +478,25 @@ def test_point_lookup_legacy_string_partition_entry(tmp_path, stream, ray_sessio
     got = table.lookup_conversation(conv)
     assert got.num_rows == expected.num_rows
     assert got.column("conv_id").to_pylist() == expected.column("conv_id").to_pylist()
+
+
+def test_manifest_directive_lineage(tmp_path, stream, ray_session):
+    """The committed manifest records per-directive field lineage for the
+    in-flight recipe (reference lineage/LineageOperations.java:38-80)."""
+    table = _fresh_table(tmp_path, stream, ray_session)
+    m = table.apply_changes(
+        stream["segments"][:1],
+        recipe=["rename :tool :tool_name", "lowercase :role",
+                "set-column :text_len exp:{string:length(text)}"],
+    )
+    lin = m["directive_lineage"]
+    assert [d["directive"] for d in lin] == ["rename", "lowercase", "set-column"]
+    ren = lin[0]
+    assert "tool" in ren["reads"] and "tool_name" in ren["writes"]
+    low = lin[1]
+    assert low["reads"] == ["role"] and low["writes"] == ["role"]
+    setc = lin[2]
+    assert "text" in setc["reads"] and "text_len" in setc["writes"]
+    # a recipe-less apply records empty lineage
+    m2 = table.apply_changes(stream["segments"])
+    assert m2["directive_lineage"] == []

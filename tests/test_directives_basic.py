@@ -337,3 +337,31 @@ def test_pragma_load_directives_roundtrip():
 
     calls = parse_recipe("#pragma load-directives my-test-udd;\nmy-test-udd :a;")
     assert [c.name for c in calls] == ["my-test-udd"]
+
+
+def test_recipe_result_write_split(tmp_path, ray_session):
+    """write_split executes the tagged chain ONCE and splits ok/error rows
+    into two parquet trees (the scale path vs consuming ok()+errors())."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from wrangler_ray.pipeline import apply_recipe
+
+    t = pa.table({"k": pa.array(range(100), pa.int64())})
+    res = apply_recipe(
+        rd.from_arrow(t),
+        ["send-to-error exp:{k % 10 == 0} 'k divisible by 10'"],
+        on_error="tag",
+    )
+    out = res.write_split(str(tmp_path / "out"))
+    ok = pq.read_table(glob.glob(out["ok"] + "/*.parquet"))
+    errs = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(out["errors"] + "/*.parquet")]
+    )
+    assert ok.num_rows == 90
+    assert errs.num_rows == 10
+    assert set(errs.column_names) == {"_wr_code", "_wr_msg", "_wr_directive", "_wr_row"}
+    assert all("divisible" in m for m in errs.column("_wr_msg").to_pylist())

@@ -479,6 +479,7 @@ class CdcTable:
         import ray.data as rd
 
         assert mode in ("cow", "mor", "auto")
+        self._directive_lineage: list = []
         manifest = self.latest_manifest()
         watermark = manifest["watermark_lsn"] if manifest else 0
         parent = manifest["version"] if manifest else None
@@ -550,6 +551,10 @@ class CdcTable:
             from wrangler_ray.pipeline import DirectiveChain, compile_recipe
 
             chain = DirectiveChain(compile_recipe(recipe), on_error="skip")
+            # field-level lineage: record which columns each in-flight
+            # directive reads/writes in the committed manifest (reference
+            # lineage/LineageOperations.java:38-80)
+            self._directive_lineage = chain.lineage()
             # batch_size=None → whole blocks: avoids rebatching between the
             # fused read → chain → spill stages (directives are vectorized,
             # so bigger batches only help)
@@ -740,6 +745,9 @@ class CdcTable:
             "version": (parent or 0) + 1,
             "parent": parent,
             "txn_id": txn_id,
+            # per-directive field lineage of the in-flight recipe (empty when
+            # the txn had no recipe)
+            "directive_lineage": getattr(self, "_directive_lineage", []),
             "watermark_lsn": int(watermark),
             "num_partitions": self.num_partitions,
             "partitions": partitions,

@@ -54,6 +54,43 @@ class Directive:
     def ok(table: pa.Table) -> tuple[pa.Table, pa.Table]:
         return table, empty_error_table()
 
+    # -- field-level lineage (reference lineage/LineageOperations.java:38-80:
+    # each directive declares which fields it reads and writes; the manifest
+    # records the chain's declarations) -----------------------------------
+
+    _READ_ATTRS = ("column", "columns", "src", "source", "c1", "c2", "expr")
+    _WRITE_ATTRS = ("dst", "destination", "target")
+
+    def lineage(self) -> dict:
+        """Declared (read, write) column sets, derived from the conventional
+        argument attribute names directives bind in ``__init__``. Directives
+        with unusual shapes can override. Expression-bearing directives
+        contribute the expression's referenced names as reads."""
+        reads: list[str] = []
+        writes: list[str] = []
+
+        def _add(lst, v):
+            if isinstance(v, str) and v and v not in lst:
+                lst.append(v)
+            elif isinstance(v, (list, tuple)):
+                for x in v:
+                    _add(lst, x)
+
+        for a in self._READ_ATTRS:
+            v = getattr(self, a, None)
+            if a == "expr" and v is not None:
+                ns = set(getattr(v, "names", []) or []) | set(
+                    getattr(v, "row_names", []) or []
+                )
+                _add(reads, sorted(n for n in ns if "__" not in n))
+            else:
+                _add(reads, v)
+        for a in self._WRITE_ATTRS:
+            _add(writes, getattr(self, a, None))
+        if not writes:
+            writes = list(reads)  # in-place transforms write what they read
+        return {"directive": self.name, "reads": reads, "writes": writes}
+
 
 def directive(name: str, *aliases: str) -> Callable[[type], type]:
     def wrap(cls: type) -> type:

@@ -52,6 +52,8 @@ class Rename(Directive):
     (reference column/Rename.java + utils/ColumnConverter.java:49-66)."""
 
     usage = "rename :old :new"
+    _READ_ATTRS = ("old",)
+    _WRITE_ATTRS = ("new",)
 
     def __init__(self, call):
         self.old = call.col(0)

@@ -41,6 +41,8 @@ class SetColumn(Directive):
     (reference transformation/ColumnExpression.java:96-116)."""
 
     usage = "set-column :col exp:{expression}"
+    _READ_ATTRS = ("expr",)
+    _WRITE_ATTRS = ("column",)
 
     def __init__(self, call):
         self.column = call.col(0)

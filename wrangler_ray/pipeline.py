@@ -64,6 +64,12 @@ class DirectiveChain:
         self.on_error = on_error
         self.environment = environment or {}
 
+    def lineage(self) -> list[dict]:
+        """Per-directive field lineage declarations (reference
+        lineage/LineageOperations.java:38-80): which columns each directive
+        reads and writes, in chain order."""
+        return [d.lineage() for d in self.directives]
+
     def transform(self, batch: pa.Table) -> tuple[pa.Table, pa.Table]:
         """Run the chain; return (ok, errors)."""
         ctx = DirectiveContext(self.environment)
@@ -100,12 +106,53 @@ class RecipeResult:
 
     ``dataset`` is the tagged stream; ``ok()`` / ``errors()`` filter it.
     NOTE: Ray Datasets are lazy — consuming both ok() and errors() executes
-    the pipeline twice; for one-pass splitting write the tagged dataset once
-    (write_parquet) and split the files, or use on_error="skip".
+    the pipeline twice. ``write_split()`` is the one-pass path: it writes the
+    tagged stream ONCE as partitioned parquet split on the error flag.
     """
 
     def __init__(self, dataset):
         self.dataset = dataset
+
+    def write_split(self, out_dir: str, **write_kwargs) -> dict:
+        """Execute the tagged pipeline ONCE and write two partitioned parquet
+        trees: ``<out_dir>/ok/`` (error columns dropped) and
+        ``<out_dir>/errors/`` (the 4 error columns only). Returns
+        ``{"ok": path, "errors": path}``. This is the scale path — ok() +
+        errors() would run the whole chain twice."""
+        import os
+
+        import pyarrow.compute as pc
+
+        ok_dir = os.path.join(out_dir, "ok")
+        err_dir = os.path.join(out_dir, "errors")
+        os.makedirs(ok_dir, exist_ok=True)
+        os.makedirs(err_dir, exist_ok=True)
+
+        def split_batch(t: pa.Table) -> pa.Table:
+            # one pass per batch: write the error slice to its tree as a side
+            # output, return the ok slice for the main write_parquet sink
+            if "_wr_code" not in t.column_names:
+                return t
+            import uuid
+
+            import pyarrow.parquet as pq
+
+            mask = pc.is_valid(t.column("_wr_code"))
+            errs = t.filter(mask).select(
+                [c for c in ERROR_COLUMNS if c in t.column_names]
+            )
+            if errs.num_rows:
+                pq.write_table(
+                    errs, os.path.join(err_dir, f"errors-{uuid.uuid4().hex}.parquet")
+                )
+            return t.filter(pc.invert(mask)).drop_columns(
+                [c for c in ERROR_COLUMNS if c in t.column_names]
+            )
+
+        self.dataset.map_batches(
+            split_batch, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(ok_dir, **write_kwargs)
+        return {"ok": ok_dir, "errors": err_dir}
 
     def ok(self):
         import pyarrow.compute as pc
