@@ -234,8 +234,10 @@ def run_benchmarks() -> dict:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    docs_amplify = int(os.environ.get("WR_DOCS_AMPLIFY", "8"))
     docs_cache = os.path.join(
-        tempfile.gettempdir(), f"wr_bench_docs_{os.path.basename(SF_DIR)}_8.parquet"
+        tempfile.gettempdir(),
+        f"wr_bench_docs_{os.path.basename(SF_DIR)}_{docs_amplify}.parquet",
     )
     if not os.path.exists(docs_cache):
         base = pq.read_table(
@@ -243,7 +245,7 @@ def run_benchmarks() -> dict:
         )
         n = base.num_rows
         copies = []
-        for c in range(8):
+        for c in range(docs_amplify):
             ids = pa.array(
                 [i + c * n for i in base.column("doc_id").to_pylist()], pa.int64()
             )
@@ -387,9 +389,33 @@ def run_scaling() -> dict:
     }
 
 
+def run_scaleup() -> dict:
+    """Scale-up evidence leg (VERDICT r1 item 9): the same headline pipelines
+    at 10× the data volume, in a fresh subprocess, so dedup/text numbers are
+    not dominated by fixed job cost. One JSON line like the default run."""
+    import subprocess
+
+    env = dict(
+        os.environ,
+        WR_DOCS_AMPLIFY=os.environ.get("WR_SCALEUP_DOCS_AMPLIFY", "80"),
+        WR_CDC_AMPLIFY=os.environ.get("WR_SCALEUP_CDC_AMPLIFY", "100"),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    res = json.loads(out.strip().splitlines()[-1])
+    res["metric"] = "scaleup_pipelines_wall_sec"
+    res["docs_amplify"] = int(env["WR_DOCS_AMPLIFY"])
+    res["cdc_amplify"] = int(env["WR_CDC_AMPLIFY"])
+    return res
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--scaleup" in sys.argv:
+        print(json.dumps(run_scaleup()))
     else:
         res = run_benchmarks()
         import ray

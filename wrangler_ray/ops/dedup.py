@@ -178,16 +178,49 @@ def _collect_edges(ds_pairs) -> pd.DataFrame:
     return t.to_pandas().drop_duplicates(ignore_index=True)
 
 
+def _distinct_pairs(pairs):
+    """Global DISTINCT over (a, b) edge rows via a bucketed exchange — the
+    same pair surfaces from up to `bands` different LSH buckets, so the raw
+    edge stream overcounts real candidates by up to that factor. 16 bytes per
+    row, vectorized drop_duplicates per bucket."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "_pb": pa.array([], pa.int32())})
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = _mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+        return t.append_column("_pb", pa.array((h % 64).astype(np.int32)))
+
+    def dedupe(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(["a", "b"])
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64)),
+                         "b": pa.array(df["b"].to_numpy(np.int64))})
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pb")
+        .map_groups(dedupe, batch_format="pyarrow")
+    )
+
+
 def _edges_or_distributed(pairs, max_driver_edges: int):
     """Materialize the candidate-edge dataset and decide the clustering route:
     returns (pairs_mat, edges_df) when the edge count fits the driver
     (union-find path), or (pairs_mat, None) to auto-route to the distributed
     label-propagation path — a 100 TB crawl corpus blows past any driver cap
     on the first run, so this must never raise. The count is free metadata
-    after materialize()."""
+    after materialize(). A raw count over the cap is first re-counted after a
+    global pair-DISTINCT (the same pair arrives from up to `bands` buckets);
+    only a cap-exceeding DISTINCT edge set goes distributed."""
     mat = pairs.materialize()
     if mat.count() > max_driver_edges:
-        return mat, None
+        mat = _distinct_pairs(mat).materialize()
+        if mat.count() > max_driver_edges:
+            return mat, None
     return mat, _collect_edges(mat)
 
 
@@ -281,13 +314,23 @@ def minhash_lsh_dedup(
         if n == 0:
             return pa.table(
                 {"_bkt": pa.array([], pa.int32()), "band": pa.array([], pa.int32()),
-                 "key": pa.array([], pa.int64()), id_col: pa.array([], t.column(id_col).type)}
+                 "key": pa.array([], pa.int64()),
+                 id_col: pa.array([], t.column(id_col).type),
+                 "dig": pa.array([], pa.int64())}
             )
         sigs = (
             t.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)
             .astype(np.uint64).reshape(n, num_perm)
         )
         ids = t.column(id_col)
+        # full-signature digest: members of a bucket with the SAME digest are
+        # signature-identical (dup copies); bucket_edges uses this to emit
+        # chain edges within a digest group and all-pairs only ACROSS digests
+        digs = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(sigs[i].tobytes(), digest_size=8).digest(),
+                            "little") >> 1 for i in range(n)),
+            np.int64, n,
+        )
         out_band, out_key, out_id = [], [], []
         for b in range(bands):
             chunk = np.ascontiguousarray(sigs[:, b * rows_per_band : (b + 1) * rows_per_band])
@@ -301,24 +344,54 @@ def minhash_lsh_dedup(
         keys = np.asarray(out_key, np.uint64)
         bkt = ((keys ^ (np.asarray(out_band, np.uint64) << np.uint64(56)))
                % np.uint64(num_buckets)).astype(np.int32)
+        idx = pa.array(out_id, pa.int64())
         return pa.table(
             {
                 "_bkt": pa.array(bkt),
                 "band": pa.array(out_band, pa.int32()),
                 "key": pa.array(keys.astype(np.int64), pa.int64()),
-                id_col: ids.take(pa.array(out_id, pa.int64())),
+                id_col: ids.take(idx),
+                "dig": pa.array(digs).take(idx),
             }
         )
+
+    def _digest_pairs(df: pd.DataFrame):
+        """Candidate pairs for one coarse bucket with signature-digest
+        reduction. Within a (band,key) LSH bucket:
+        - identical-digest members (signature-identical dup copies) chain:
+          consecutive ids, g-1 edges instead of g²/2 — every chain edge still
+          goes through downstream verification;
+        - DISTINCT digests pair all-vs-all via their min-id representatives
+          (identical-signature members have identical estimates, so one
+          representative decides for the group)."""
+        df = df.sort_values(["band", "key", "dig", id_col], kind="mergesort")
+        ids = df[id_col].to_numpy()
+        band = df["band"].to_numpy()
+        key = df["key"].to_numpy()
+        dig = df["dig"].to_numpy()
+        same_bucket = np.zeros(len(df), bool)
+        same_bucket[1:] = (band[1:] == band[:-1]) & (key[1:] == key[:-1])
+        same_dig = same_bucket.copy()
+        same_dig[1:] &= dig[1:] == dig[:-1]
+        # chain edges inside each digest group
+        chain_a, chain_b = ids[:-1][same_dig[1:]], ids[1:][same_dig[1:]]
+        # representatives: first row of each (band,key,dig) group
+        reps = df[~same_dig]
+        rep_a, rep_b = _group_all_pairs(reps, ["band", "key"], id_col)
+        return (np.concatenate([chain_a, rep_a]),
+                np.concatenate([chain_b, rep_b]))
 
     def bucket_edges(g: pa.Table) -> pa.Table:
         # one coarse bucket holds MANY (band,key) LSH buckets → vectorized
         # pandas/numpy inside; pyarrow in/out (the pandas OUTPUT path of
         # map_groups is pathologically slow in Ray 2.49 — measured 46s vs 1s).
-        # ALL pairs within an LSH bucket are candidates: star-edges to the
+        # ALL pairs within an LSH bucket are candidates (star-edges to the
         # group min would silently drop real pairs whenever the min is a
-        # false-positive collision that fails downstream verification.
+        # false-positive collision that fails downstream verification), with
+        # the signature-digest reduction collapsing identical-signature
+        # members to chains + one representative.
         df = g.to_pandas()
-        a_np, b_np = _group_all_pairs(df, ["band", "key"], id_col)
+        a_np, b_np = _digest_pairs(df)
         out = pd.DataFrame({"a": a_np, "b": b_np}).drop_duplicates()
         return pa.table({"a": pa.array(out["a"]), "b": pa.array(out["b"])})
 
@@ -362,14 +435,28 @@ def minhash_lsh_dedup(
         sorted_ids = sig_ids[order]
         ia = order[np.searchsorted(sorted_ids, a_ids)]
         ib = order[np.searchsorted(sorted_ids, b_ids)]
-        est = (mat[ia] == mat[ib]).mean(axis=1)  # unbiased Jaccard estimate
+        # unbiased Jaccard estimate, CHUNKED: gathering two (n_edges × perm)
+        # matrices at once churns GBs of fresh allocations (measured 40s vs
+        # 1.3s chunked at 2M edges on this box) — process in bounded slices
+        est = np.empty(len(ia))
+        _CH = 1 << 17
+        for s in range(0, len(ia), _CH):
+            sl = slice(s, min(s + _CH, len(ia)))
+            est[sl] = (mat[ia[sl]] == mat[ib[sl]]).mean(axis=1)
 
         accept = est >= jaccard_threshold + exact_margin
         borderline = (~accept) & (est >= jaccard_threshold - exact_margin)
 
         if borderline.any():
-            # exact shingle-set Jaccard for the borderline few: fetch only
-            # those texts
+            # exact shingle-set Jaccard for the borderline edges: fetch only
+            # those texts, compute sets ONCE per doc, then verify edge
+            # BATCHES in parallel against a ray.put broadcast of the sorted
+            # shingle arrays (a dup-heavy crawl corpus puts most candidate
+            # edges in the borderline band — a driver-side loop here was the
+            # measured bottleneck)
+            import ray as _ray
+            import ray.data as _rd
+
             bl = np.unique(
                 np.concatenate([a_ids[borderline], b_ids[borderline]])
             )
@@ -378,23 +465,77 @@ def minhash_lsh_dedup(
                 ids = t.column(id_col).to_numpy(zero_copy_only=False)
                 return t.filter(pa.array(np.isin(ids, bl))).select([id_col, text_col])
 
-            texts = {
-                row[id_col]: row[text_col]
-                for row in ds.map_batches(
-                    collect_texts, batch_format="pyarrow", zero_copy_batch=True
-                ).take_all()
+            def shingle_rows(t: pa.Table) -> pa.Table:
+                # shingle once per doc in the worker, ship sorted arrays
+                ids = t.column(id_col).to_pylist()
+                texts = t.column(text_col).to_pylist()
+                arrs = [
+                    np.sort(_shingle_hashes(x, shingle_k)).astype(np.int64)
+                    if x is not None else np.empty(0, np.int64)
+                    for x in texts
+                ]
+                return pa.table(
+                    {id_col: pa.array(ids),
+                     "sh": pa.array([a.tobytes() for a in arrs], pa.binary())}
+                )
+
+            sh_tab = pa.concat_tables(
+                ds.map_batches(collect_texts, batch_format="pyarrow", zero_copy_batch=True)
+                .map_batches(shingle_rows, batch_format="pyarrow")
+                .iter_batches(batch_size=None, batch_format="pyarrow")
+            )
+            shingles = {
+                i: np.frombuffer(b, np.int64)
+                for i, b in zip(sh_tab.column(id_col).to_pylist(),
+                                sh_tab.column("sh").to_pylist())
             }
-            shingle_sets = {
-                i: set(_shingle_hashes(t, shingle_k).tolist()) if t is not None else set()
-                for i, t in texts.items()
-            }
-            for i in np.flatnonzero(borderline):
-                s_a = shingle_sets.get(a_ids[i], set())
-                s_b = shingle_sets.get(b_ids[i], set())
-                union = len(s_a | s_b)
-                ja = (len(s_a & s_b) / union) if union else 1.0
-                if ja >= jaccard_threshold:
-                    accept[i] = True
+            bl_idx = np.flatnonzero(borderline)
+
+            def _true_jaccard_ok(aa, bb, sh):
+                oks = np.zeros(len(aa), bool)
+                empty = np.empty(0, np.int64)
+                for j in range(len(aa)):
+                    s_a = sh.get(aa[j], empty)
+                    s_b = sh.get(bb[j], empty)
+                    inter = len(np.intersect1d(s_a, s_b, assume_unique=True))
+                    union = len(s_a) + len(s_b) - inter
+                    ja = (inter / union) if union else 1.0
+                    oks[j] = ja >= jaccard_threshold
+                return oks
+
+            if len(bl_idx) < 20_000:
+                # small borderline set: one driver pass beats a Ray job
+                ok_mask = _true_jaccard_ok(a_ids[bl_idx], b_ids[bl_idx], shingles)
+                accept[bl_idx[ok_mask]] = True
+            else:
+                # large borderline set (dup-heavy corpora): verify edge
+                # batches in parallel against the broadcast shingle arrays
+                sh_ref = _ray.put(shingles)
+                edge_tab = pa.table(
+                    {"a": pa.array(a_ids[bl_idx]), "b": pa.array(b_ids[bl_idx]),
+                     "i": pa.array(bl_idx.astype(np.int64))}
+                )
+
+                def verify_batch(t: pa.Table) -> pa.Table:
+                    sh = _ray.get(sh_ref)
+                    aa = t.column("a").to_numpy(zero_copy_only=False)
+                    bb = t.column("b").to_numpy(zero_copy_only=False)
+                    return pa.table(
+                        {"i": t.column("i"),
+                         "ok": pa.array(_true_jaccard_ok(aa, bb, sh))}
+                    )
+
+                n_blocks = max(4, min(64, len(bl_idx) // 4096))
+                verdicts = pa.concat_tables(
+                    _rd.from_arrow(edge_tab)
+                    .repartition(n_blocks)
+                    .map_batches(verify_batch, batch_format="pyarrow")
+                    .iter_batches(batch_size=None, batch_format="pyarrow")
+                )
+                ok_idx = verdicts.column("i").to_numpy(zero_copy_only=False)[
+                    verdicts.column("ok").to_numpy(zero_copy_only=False)
+                ]
+                accept[ok_idx] = True
 
         uf = _UnionFind()
         for a, b in zip(a_ids[accept], b_ids[accept]):
