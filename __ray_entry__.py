@@ -453,6 +453,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = pa.concat_tables(out.iter_batches(batch_format="pyarrow", batch_size=None))
         return _round_cols(t, {"sum_value": 3})
 
+    def hopping_window_events(sf_dir):
+        from ray.data.aggregate import Count, Sum
+
+        from wrangler_ray.ops.window import hopping_window
+
+        out = hopping_window(
+            _read(sf_dir, "events", columns=["event_type", "ts", "value"]),
+            ts_col="ts",
+            key_cols=["event_type"],
+            aggs=[Count(alias_name="n"), Sum("value", alias_name="sum_value")],
+            every="30 minute",
+            period="1 hour",
+        )
+        t = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+        return _round_cols(t, {"sum_value": 3})
+
     def sessionize_events(sf_dir):
         from wrangler_ray.ops.window import session_stats
 
@@ -683,6 +699,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _round_cols(out.drop_columns(["query_idx"]), {"score": 3})
 
+    def text_analysis_sql_invariant(sf_dir):
+        # the FUSED analyzer's SQL-expressible metrics, oracled end to end
+        # (lang-id/fingerprint stay rows-only in text_analysis_docs)
+        from wrangler_ray.ops.text import analyze
+
+        out = analyze(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+        t = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+        t = t.select(["doc_id", "q_len", "q_punct_ratio", "q_stop_ratio",
+                      "q_mean_wordlen", "n_ws_tokens"])
+        return _round_cols(
+            t, {"q_punct_ratio": 6, "q_stop_ratio": 6, "q_mean_wordlen": 6}
+        )
+
+    def source_csv_roundtrip(sf_dir):
+        # sources surface: write nation as CSV, read it back with the
+        # sniffing reader — result must equal the parquet table
+        import ray.data as rd
+
+        from wrangler_ray.sources import read_any
+
+        nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        workdir = tempfile.mkdtemp(prefix="wr_src_")
+        path = os.path.join(workdir, "nation.csv")
+        import pyarrow.csv as pacsv
+
+        pacsv.write_csv(nation, path)
+        out = read_any(path)
+        t = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+        # CSV round-trip types: cast keys back to the parquet schema
+        return t.cast(pa.schema([
+            pa.field("n_nationkey", pa.int32()),
+            pa.field("n_name", pa.string()),
+            pa.field("n_regionkey", pa.int32()),
+        ]))
+
     def sample_reservoir_invariant(sf_dir):
         # the sample itself is random; its membership + cardinality are not:
         # exactly k distinct rows, all drawn from the corpus
@@ -731,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join_supplier_nation": broadcast_join_supplier_nation,
         "asof_join_events_orders": asof_join_events_orders,
         "window_hourly_events": window_hourly_events,
+        "hopping_window_events": hopping_window_events,
         "sessionize_events": sessionize_events,
         "date_format_orders": date_format_orders,
         "settype_merge_nation": settype_merge_nation,
@@ -749,6 +801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_standard_events": validate_standard_events,
         "dedup_lsh_exact_invariant": dedup_lsh_exact_invariant,
         "sample_reservoir_invariant": sample_reservoir_invariant,
+        "text_analysis_sql_invariant": text_analysis_sql_invariant,
+        "source_csv_roundtrip": source_csv_roundtrip,
         "similarity_lsh_exhaustive_invariant": similarity_lsh_exhaustive_invariant,
         "similarity_ivf_exhaustive_invariant": similarity_ivf_exhaustive_invariant,
     }
@@ -954,6 +1008,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        "hopping_window_events": """
+            WITH b AS (
+                SELECT date_trunc('day', min(ts)) - INTERVAL 1 DAY AS t0,
+                       max(ts) AS t1
+                FROM events
+            ),
+            ws AS (
+                SELECT unnest(generate_series((SELECT t0 FROM b),
+                                              (SELECT t1 FROM b),
+                                              INTERVAL 30 MINUTE)) AS window_start
+            )
+            SELECT e.event_type, ws.window_start,
+                   count(*) AS n,
+                   round(sum(e.value), 3) AS sum_value
+            FROM events e
+            JOIN ws ON e.ts >= ws.window_start
+                   AND e.ts < ws.window_start + INTERVAL 1 HOUR
+            GROUP BY 1, 2
+        """,
         "sessionize_events": """
             WITH d AS (
                 SELECT user_id, ts,
@@ -1100,6 +1173,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_reservoir_invariant": """
             SELECT 100 AS n_sampled, 100 AS n_distinct, 100 AS n_member
+        """,
+        "text_analysis_sql_invariant": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS s,
+                       regexp_extract_all(coalesce(text, ''), '[A-Za-z'']+') AS words
+                FROM documents
+            )
+            SELECT doc_id,
+                   length(s) AS q_len,
+                   round(len(regexp_extract_all(s, '[^\w\s]'))
+                         / greatest(length(s), 1), 6) AS q_punct_ratio,
+                   round(len(list_filter(words, w -> lower(w) IN (
+                         'the','and','of','a','to','in','is','it','that','for',
+                         'on','as','with','was','at','by','an','be','this','are')))
+                         / greatest(len(words), 1), 6) AS q_stop_ratio,
+                   round(CASE WHEN len(words) > 0
+                         THEN CAST(len(regexp_extract_all(s, '[A-Za-z'']')) AS DOUBLE)
+                              / len(words) ELSE 0 END, 6) AS q_mean_wordlen,
+                   len(string_split_regex(trim(s), '\s+')) AS n_ws_tokens
+            FROM t
+        """,
+        "source_csv_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "similarity_lsh_exhaustive_invariant": """
             WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))

@@ -231,3 +231,40 @@ def test_simhash_distributed_matches_driver(ray_session):
     drv = sorted(simhash_dedup(ds).to_pandas()["doc_id"])
     dist = sorted(simhash_dedup(ds, distributed=True).to_pandas()["doc_id"])
     assert drv == dist == [0, 2]
+
+
+def test_hopping_window(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from wrangler_ray.ops.window import hopping_window
+
+    base = dt.datetime(2024, 1, 1)
+    ts = [base + dt.timedelta(minutes=m) for m in (0, 10, 40, 70)]
+    t = pa.table({"k": ["a"] * 4, "ts": pa.array(ts, pa.timestamp("us"))})
+    out = (
+        hopping_window(
+            rd.from_arrow(t), ts_col="ts", key_cols=["k"],
+            aggs=[Count(alias_name="n")], every="30 minute", period="1 hour",
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # windows (start, count): 23:30→[0,10), 00:00→[0,10,40], 00:30→[40,70? 70>=60+30? win 00:30-01:30 holds 40,70], 01:00→[70]
+    got = {row.window_start.to_pydatetime(): row.n for row in out.itertuples()}
+    assert got[base - dt.timedelta(minutes=30)] == 2  # 00:00,00:10
+    assert got[base] == 3                              # 00:00,00:10,00:40
+    assert got[base + dt.timedelta(minutes=30)] == 2   # 00:40, 01:10
+    assert got[base + dt.timedelta(minutes=60)] == 1   # 01:10
+    # every event appears in exactly period/every = 2 windows
+    assert out["n"].sum() == 8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hopping_window(rd.from_arrow(t), ts_col="ts", aggs=[Count()],
+                       every="25 minute", period="1 hour")

@@ -47,6 +47,57 @@ def tumbling_window(
     )
 
 
+def hopping_window(
+    ds,
+    ts_col: str,
+    aggs: list,
+    key_cols: list[str] | None = None,
+    every: str = "15 minute",
+    period: str = "1 hour",
+):
+    """Hopping (sliding) window aggregate: windows of length ``period``
+    starting every ``every``; an event belongs to period/every overlapping
+    windows. Expressed Ray-Data-first: each block REPLICATES its rows once
+    per covering window inside one vectorized ``map_batches`` (replication
+    factor = period/every, a small constant), then ONE hash groupby on
+    (keys..., window_start) — same single-shuffle shape as tumbling.
+
+    Scale note: shuffle volume is replication-factor × input for the touched
+    columns only; pre-aggregation inside the exchange (Ray's partial
+    aggregates) keeps the reduce side at one row per (key, window)."""
+    ne, ue = every.split()
+    np_, up = period.split()
+    us = {"second": 1_000_000, "minute": 60_000_000,
+          "hour": 3_600_000_000, "day": 86_400_000_000}
+    every_us = int(ne) * us[ue.rstrip("s")]
+    period_us = int(np_) * us[up.rstrip("s")]
+    if period_us % every_us:
+        raise ValueError("hopping_window: period must be a multiple of every")
+    k = period_us // every_us  # replication factor
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        # last hop-aligned start covering ts, then k-1 earlier starts
+        last_start = (ts // every_us) * every_us
+        n = len(ts)
+        idx = np.repeat(np.arange(n), k)
+        offs = np.tile(np.arange(k, dtype=np.int64) * every_us, n)
+        starts = last_start[idx] - offs
+        out = t.take(pa.array(idx, pa.int64()))
+        return out.append_column(
+            "window_start", pa.array(starts, pa.int64()).cast(pa.timestamp("us"))
+        )
+
+    keys = list(key_cols or []) + ["window_start"]
+    return (
+        ds.map_batches(explode_windows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(keys)
+        .aggregate(*aggs)
+    )
+
+
 def sessionize(
     ds,
     key_col: str = "user_id",
