@@ -690,7 +690,9 @@ def embedding_dedup(
 
     def sign(t: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
-        vecs = np.stack(t.column(vec_col).to_pylist()).astype(np.float32)
+        from wrangler_ray.ops.similarity import vecs_np
+
+        vecs = vecs_np(t.column(vec_col))
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms

@@ -23,6 +23,24 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def vecs_np(col, dtype=np.float32) -> np.ndarray:
+    """Arrow list<float> / fixed_size_list<float> column → (n, d) ndarray
+    WITHOUT boxing each element into Python objects (to_pylist on a million
+    embeddings allocates ~d million PyFloats; the flatten path is a single
+    buffer reshape)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(arr.type):
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), arr.type.list_size).astype(dtype, copy=False)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) and (widths == widths[0]).all():
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(arr), int(widths[0])).astype(dtype, copy=False)
+    return np.array(arr.to_pylist(), dtype=dtype)  # ragged fallback
+
+
 class _BatchTopK:
     """Per-batch exact cosine top-k against a broadcast query matrix.
     Stateful stage: queries fetched from the object store ONCE per actor."""
@@ -45,10 +63,10 @@ class _BatchTopK:
                     "score": pa.array([], pa.float32()),
                 }
             )
-        vecs = np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float32)
+        vecs = vecs_np(batch.column(self.vec_col))
         unit = _normalize(vecs)
         sims = self.q @ unit.T  # (nq, nb)
-        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         k = min(self.k, sims.shape[1])
         top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
         out_q, out_id, out_s = [], [], []
@@ -161,7 +179,7 @@ def lsh_topk(
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return super().__call__(batch)
-            vecs = np.stack(batch.column(vec_col).to_pylist()).astype(np.float32)
+            vecs = vecs_np(batch.column(vec_col))
             bits = (_normalize(vecs) @ self.planes) > 0
             keys = np.zeros(len(vecs), np.int64)
             for j in range(self.planes.shape[1]):
@@ -248,7 +266,7 @@ def ivf_topk(
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return super().__call__(batch)
-            vecs = np.stack(batch.column(vec_col).to_pylist()).astype(np.float32)
+            vecs = vecs_np(batch.column(vec_col))
             assign = (_normalize(vecs) @ self.cent.T).argmax(axis=1)
             mask = np.isin(assign, list(self.probe))
             return super().__call__(batch.filter(pa.array(mask)))

@@ -27,34 +27,56 @@ _STOPWORDS = {
 
 
 class LanguageId:
-    """Heuristic trigram language-ID (actor-pool stage). Adds ``lang_pred``
-    and ``lang_score`` columns."""
+    """Heuristic trigram language-ID. Adds ``lang_pred`` and ``lang_score``.
+
+    Vectorized: one ``str.contains`` pass per profile trigram (50 C-speed
+    substring scans over the first ~4 KB of each text) instead of building a
+    Python gram set per row — same decision as the per-row ``classify``
+    (presence of a profile gram within the scanned window)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.profiles = {k: frozenset(v) for k, v in _PROFILES.items()}
+        self.langs = list(self.profiles)
 
     def classify(self, text: str) -> tuple[str, float]:
+        """Single-text path; same substring-presence decision as
+        ``predict_series`` (profile n-grams checked against the first ~4 KB)."""
         if not text:
             return "und", 0.0
-        s = text.lower()
-        grams = {s[i : i + 3] for i in range(0, min(len(s) - 2, 4000))}
+        s = text.lower()[:4002]
         best, score = "und", 0.0
         for lang, prof in self.profiles.items():
-            hits = len(grams & prof) / len(prof)
+            hits = sum(1 for g in prof if g in s) / len(prof)
             if hits > score:
                 best, score = lang, hits
         return (best if score > 0.15 else "und"), score
 
+    def predict_series(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        # prefix of 4002 chars ⇔ trigram windows starting at < 4000, the same
+        # window the per-row classify scans
+        prefix = texts.fillna("").str.slice(0, 4002).str.lower()
+        scores = np.zeros((len(texts), len(self.langs)), np.float32)
+        for li, lang in enumerate(self.langs):
+            prof = self.profiles[lang]
+            hits = np.zeros(len(texts), np.int32)
+            for g in prof:
+                hits += prefix.str.contains(g, regex=False).to_numpy()
+            scores[:, li] = hits / np.float32(len(prof))
+        best = scores.argmax(axis=1)  # ties → earlier profile, like classify
+        best_score = scores[np.arange(len(texts)), best]
+        preds = np.where(
+            best_score > 0.15, np.asarray(self.langs, object)[best], "und"
+        )
+        return preds, best_score
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        preds, scores = [], []
-        for t in texts:
-            p, s = self.classify(t)
-            preds.append(p)
-            scores.append(s)
+        texts = pd.Series(batch.column(self.text_col).to_pylist())
+        preds, scores = self.predict_series(texts)
         batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
-        return batch.append_column("lang_score", pa.array(scores, pa.float32()))
+        return batch.append_column(
+            "lang_score", pa.array(scores, pa.float32())
+        )
 
 
 class QualityScore:
@@ -176,11 +198,7 @@ class TextAnalyzer:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[self.text_col]
-        preds, scores = [], []
-        for t in texts:
-            p, s = self.lang.classify(t)
-            preds.append(p)
-            scores.append(s)
+        preds, scores = self.lang.predict_series(texts)
         batch["lang_pred"] = pd.Series(preds, index=batch.index, dtype="object")
         batch["lang_score"] = pd.Series(scores, index=batch.index, dtype="float32")
         batch = self.quality(batch)
