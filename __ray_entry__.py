@@ -660,6 +660,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "events", columns=["event_id", "props"])
         return apply_recipe(ds, ["validate-standard :props props_k50"])
 
+    def parser_mega2_events(sf_dir):
+        # second parser family sweep: parse-as-log (Apache LogFormat),
+        # parse-xml-to-json, format-as-currency/parse-as-currency round trip,
+        # filter-rows-on empty-or-null-columns
+        ds = _read(sf_dir, "events")
+        return apply_recipe(
+            ds,
+            [
+                "keep :event_id,:event_type,:value,:user_id",
+                "set-column :logline exp:{concat('10.0.0.', toString(user_id), "
+                "' - frank [10/Oct/2000:13:55:36 -0700] \"GET /api/', "
+                "event_type, ' HTTP/1.0\" 200 ', toString(event_id))}",
+                "parse-as-log :logline '%h %l %u %t \"%r\" %>s %b'",
+                "set-column :xml exp:{concat('<r><a>', event_type, '</a><n>2</n></r>')}",
+                "parse-xml-to-json :xml 2",
+                "copy :value :cur",
+                "format-as-currency :cur :cur_str",
+                "parse-as-currency :cur_str :cur_back",
+                "set-column :maybe exp:{value > 5 ? 'x' : ''}",
+                "filter-rows-on empty-or-null-columns :maybe",
+                "keep :event_id,:event_type,:value,:logline_ip,:logline_user,"
+                ":logline_datetime,:logline_method,:logline_uri,"
+                ":logline_protocol,:logline_status,:logline_size,:xml,"
+                ":cur_str,:cur_back",
+            ],
+        )
+
     # -- invariant oracles for previously no_oracle operators ----------------
 
     def dedup_lsh_exact_invariant(sf_dir):
@@ -698,6 +725,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings"), q, k=5, num_clusters=1, nprobe=1
         )
         return _round_cols(out.drop_columns(["query_idx"]), {"score": 3})
+
+    def dedup_embedding_invariant(sf_dir):
+        # synthesize a duplicate of EVERY vector (2× scaling — cosine with
+        # the source is exactly 1.0, cosine across documents stays ≤ ~0.6 in
+        # this corpus), ids shifted by n; the dedup must keep exactly the
+        # original min-id rows
+        import ray.data as rd
+
+        from wrangler_ray.ops.dedup import embedding_dedup
+
+        emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        n = emb.num_rows
+        ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+        dup = pa.table(
+            {
+                "vec_id": pa.array(ids + n, pa.int64()),
+                "embedding": pa.array(
+                    [[2.0 * x for x in v] for v in emb.column("embedding").to_pylist()],
+                    emb.column("embedding").type,
+                ),
+            }
+        )
+        both = pa.concat_tables([emb.select(["vec_id", "embedding"]), dup])
+        out = embedding_dedup(rd.from_arrow(both), cosine_threshold=0.999)
+        t = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+        return t.select(["vec_id"])
 
     def text_analysis_sql_invariant(sf_dir):
         # the FUSED analyzer's SQL-expressible metrics, oracled end to end
@@ -798,9 +851,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_mega_part": column_mega_part,
         "dates_mega_events": dates_mega_events,
         "parser_mega_events": parser_mega_events,
+        "parser_mega2_events": parser_mega2_events,
         "validate_standard_events": validate_standard_events,
         "dedup_lsh_exact_invariant": dedup_lsh_exact_invariant,
         "sample_reservoir_invariant": sample_reservoir_invariant,
+        "dedup_embedding_invariant": dedup_embedding_invariant,
         "text_analysis_sql_invariant": text_analysis_sql_invariant,
         "source_csv_roundtrip": source_csv_roundtrip,
         "similarity_lsh_exhaustive_invariant": similarity_lsh_exhaustive_invariant,
@@ -1173,6 +1228,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_reservoir_invariant": """
             SELECT 100 AS n_sampled, 100 AS n_distinct, 100 AS n_member
+        """,
+        "parser_mega2_events": """
+            SELECT event_id, event_type, value,
+                   '10.0.0.' || CAST(user_id AS VARCHAR) AS logline_ip,
+                   'frank' AS logline_user,
+                   '10/Oct/2000:13:55:36 -0700' AS logline_datetime,
+                   'GET' AS logline_method,
+                   '/api/' || event_type AS logline_uri,
+                   'HTTP/1.0' AS logline_protocol,
+                   '200' AS logline_status,
+                   CAST(event_id AS VARCHAR) AS logline_size,
+                   '{"r": {"a": "' || event_type || '", "n": "2"}}' AS xml,
+                   '$' || printf('%.2f', value) AS cur_str,
+                   round(value, 2) AS cur_back
+            FROM events
+            WHERE value > 5
+        """,
+        "dedup_embedding_invariant": """
+            SELECT vec_id FROM embeddings
         """,
         "text_analysis_sql_invariant": r"""
             WITH t AS (
