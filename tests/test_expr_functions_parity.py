@@ -312,3 +312,101 @@ def test_ddl_functions():
     assert "int" in sql_schema["fields"][0]["type"]
     js = ev("ddl:toJson(ddl:parse(s))", s=schema)
     assert json.loads(js)["name"] == "rec"
+
+
+# --- number:/decimal:/arithmetic:/escape:/strings:/bytes:/StringUtils -------
+
+def test_number_functions():
+    assert ev("number:AsDouble(a)", a=3) == 3.0
+    assert ev("number:AsInteger(a)", a=3.9) == 3
+    assert ev("number:Mantissa(a)", a=12.34) == pytest.approx(0.34)
+    assert ev("number:Mantissa(a)", a=7) == 0.0
+    assert ev("number:Mantissa(a)", a=None) == 0.0
+
+
+def test_decimal_functions():
+    from decimal import Decimal
+
+    assert ev("decimal:add(a, b)", a=Decimal("1.5"), b=Decimal("2.25")) == Decimal("3.75")
+    assert ev("decimal:multiply(a, b)", a=Decimal("1.5"), b=2) == Decimal("3.0")
+    assert ev("decimal:precision(a)", a=Decimal("123.45")) == 5
+    assert ev("decimal:scale(a)", a=Decimal("123.45")) == 2
+    assert ev("decimal:unscaled(a)", a=Decimal("-123.45")) == -12345
+    assert ev("decimal:decimal_left(a, 2)", a=Decimal("12345")) == Decimal("123.45")
+    assert ev("decimal:decimal_right(a, 2)", a=Decimal("1.2345")) == Decimal("123.45")
+    assert ev("decimal:pow(a, 3)", a=Decimal("2")) == Decimal("8")
+    assert ev("decimal:negate(a)", a=Decimal("5")) == Decimal("-5")
+    assert ev("decimal:sign(a)", a=Decimal("-5")) == -1
+    assert ev("decimal:divider(a, b)", a=Decimal("7"), b=Decimal("3")) == Decimal("1")
+    assert ev("decimal:divider(a, b)", a=Decimal("-7"), b=Decimal("3")) == Decimal("-1")
+
+
+def test_arithmetic_functions():
+    assert ev("arithmetic:add(a, b, 3)", a=1, b=2) == 6
+    assert ev("arithmetic:add(a, b)", a=None, b=2) is None
+    assert ev("arithmetic:minus(a, b)", a=5, b=3) == 2
+    assert ev("arithmetic:multiply(a, b)", a=4, b=2.5) == 10.0
+    assert ev("arithmetic:divideq(a, b)", a=7, b=2) == 3  # int/int floors
+    assert ev("arithmetic:divideq(a, b)", a=7.0, b=2) == 3.5
+    assert ev("arithmetic:divideq(a, b)", a=7, b=0) is None
+    assert ev("arithmetic:divider(a, b)", a=7, b=3) == 1
+    assert ev("arithmetic:lcm(a, b)", a=4, b=6) == 12
+    assert bool(ev("arithmetic:equal(a, b)", a=3, b=3)) is True
+    assert bool(ev("arithmetic:equal(a, b)", a=3, b=4)) is False
+    assert ev("arithmetic:max(a, b, 9)", a=1, b=5) == 9
+    assert ev("arithmetic:min(a, b)", a=1, b=5) == 1
+    assert ev("arithmetic:average(a, b, 6)", a=3, b=3) == 4
+
+
+def test_escape_functions():
+    assert ev("escape:escapeHtml(a)", a="<b>&'x'</b>") == "&lt;b&gt;&amp;&#x27;x&#x27;&lt;/b&gt;"
+    assert ev("escape:unescapeHtml(a)", a="&lt;b&gt;&amp;") == "<b>&"
+    assert ev("escape:escapeXml(a)", a='<a b="c">') == "&lt;a b=&quot;c&quot;&gt;"
+    assert ev("escape:unescapeXml(a)", a="&lt;a&gt;&apos;") == "<a>'"
+    assert ev("escape:escapeJava(a)", a='line1\nline2"q"') == 'line1\\nline2\\"q\\"'
+    assert ev("escape:unescapeJava(a)", a="tab\\there") == "tab\there"
+    assert ev("escape:escapeCsv(a)", a='a,b"c"') == '"a,b""c"""'
+    assert ev("escape:escapeCsv(a)", a="plain") == "plain"
+    assert ev("escape:unescapeCsv(a)", a='"a,b""c"""') == 'a,b"c"'
+
+
+def test_guava_strings_functions():
+    assert bool(ev("strings:isNullOrEmpty(a)", a=None)) is True
+    assert bool(ev("strings:isNullOrEmpty(a)", a="")) is True
+    assert bool(ev("strings:isNullOrEmpty(a)", a="x")) is False
+    assert ev("strings:nullToEmpty(a)", a=None) == ""
+    assert ev("strings:emptyToNull(a)", a="") is None
+    assert ev("strings:repeat(a, 3)", a="ab") == "ababab"
+    assert ev("strings:padStart(a, 5, '0')", a="42") == "00042"
+    assert ev("strings:padEnd(a, 4, 'x')", a="ab") == "abxx"
+    assert ev("strings:commonPrefix(a, b)", a="flower", b="flight") == "fl"
+    assert ev("strings:commonSuffix(a, b)", a="testing", b="running") == "ing"
+
+
+def test_bytes_functions():
+    assert ev("bytes:toString(a)", a=b"hi") == "hi"
+    assert ev("bytes:toBytes(a)", a="hi") == b"hi"
+    assert ev("bytes:toHexString(a)", a=b"\x01\xff") == "01ff"
+    assert ev("bytes:fromHexString(a)", a="01ff") == b"\x01\xff"
+    assert ev("bytes:toInt(a)", a=(7).to_bytes(4, "big")) == 7
+    assert ev("bytes:toLong(a)", a=(-2).to_bytes(8, "big", signed=True)) == -2
+
+
+def test_stringutils_additions():
+    assert ev("string:capitalize(a)", a="cat") == "Cat"
+    assert ev("string:uncapitalize(a)", a="Cat") == "cat"
+    assert ev("string:swapCase(a)", a="aBc") == "AbC"
+    assert ev("string:reverse(a)", a="abc") == "cba"
+    assert ev("string:abbreviate(a, 7)", a="abcdefghij") == "abcd..."
+    assert bool(ev("string:isAlpha(a)", a="abc")) is True
+    assert bool(ev("string:isAlpha(a)", a="ab1")) is False
+    assert bool(ev("string:isNumeric(a)", a="123")) is True
+    assert bool(ev("string:isBlank(a)", a="  ")) is True
+    assert ev("string:left(a, 2)", a="abcd") == "ab"
+    assert ev("string:right(a, 2)", a="abcd") == "cd"
+    assert ev("string:mid(a, 1, 2)", a="abcd") == "bc"
+    assert ev("string:leftPad(a, 5, '*')", a="ab") == "***ab"
+    assert ev("string:chomp(a)", a="line\r\n") == "line"
+    assert ev("string:chop(a)", a="abc") == "ab"
+    assert ev("string:countMatches(a, 'ab')", a="ababab") == 3
+    assert ev("string:deleteWhitespace(a)", a=" a b\tc ") == "abc"

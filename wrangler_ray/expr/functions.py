@@ -1211,6 +1211,596 @@ def _ddl_select(schema, path):
 
 
 # ---------------------------------------------------------------------------
+# string: Apache-commons StringUtils additions (the reference binds the whole
+# class; these are the methods recipes actually use)
+# ---------------------------------------------------------------------------
+
+@expr_function("string:capitalize")
+@elementwise
+def _su_capitalize(v):
+    return None if v is None else (v[:1].upper() + v[1:] if v else v)
+
+
+@expr_function("string:uncapitalize")
+@elementwise
+def _su_uncapitalize(v):
+    return None if v is None else (v[:1].lower() + v[1:] if v else v)
+
+
+@expr_function("string:swapCase")
+@elementwise
+def _su_swapcase(v):
+    return None if v is None else v.swapcase()
+
+
+@expr_function("string:reverse")
+@elementwise
+def _su_reverse(v):
+    return None if v is None else v[::-1]
+
+
+@expr_function("string:abbreviate")
+@elementwise
+def _su_abbreviate(v, n):
+    if v is None:
+        return None
+    n = int(n)
+    return v if len(v) <= n else v[: max(n - 3, 1)] + "..."
+
+
+@expr_function("string:isAlpha")
+@elementwise
+def _su_isalpha(v):
+    return v is not None and v != "" and v.isalpha()
+
+
+@expr_function("string:isNumeric")
+@elementwise
+def _su_isnumeric(v):
+    return v is not None and v != "" and v.isdigit()
+
+
+@expr_function("string:isAlphanumeric")
+@elementwise
+def _su_isalnum(v):
+    return v is not None and v != "" and v.isalnum()
+
+
+@expr_function("string:isBlank")
+@elementwise
+def _su_isblank(v):
+    return v is None or v.strip() == ""
+
+
+@expr_function("string:left")
+@elementwise
+def _su_left(v, n):
+    return None if v is None else v[: max(int(n), 0)]
+
+
+@expr_function("string:right")
+@elementwise
+def _su_right(v, n):
+    n = max(int(n), 0)
+    return None if v is None else (v[-n:] if n else "")
+
+
+@expr_function("string:mid")
+@elementwise
+def _su_mid(v, pos, n):
+    if v is None:
+        return None
+    pos, n = int(pos), int(n)
+    if pos < 0:
+        pos = 0
+    return v[pos : pos + max(n, 0)]
+
+
+@expr_function("string:leftPad")
+@elementwise
+def _su_leftpad(v, n, c=" "):
+    return None if v is None else v.rjust(int(n), str(c)[0] if c else " ")
+
+
+@expr_function("string:rightPad")
+@elementwise
+def _su_rightpad(v, n, c=" "):
+    return None if v is None else v.ljust(int(n), str(c)[0] if c else " ")
+
+
+@expr_function("string:chomp")
+@elementwise
+def _su_chomp(v):
+    if v is None:
+        return None
+    if v.endswith("\r\n"):
+        return v[:-2]
+    if v.endswith(("\n", "\r")):
+        return v[:-1]
+    return v
+
+
+@expr_function("string:chop")
+@elementwise
+def _su_chop(v):
+    if v is None:
+        return None
+    if v.endswith("\r\n"):
+        return v[:-2]
+    return v[:-1] if v else v
+
+
+@expr_function("string:countMatches")
+@elementwise
+def _su_countmatches(v, sub):
+    if v is None or not sub:
+        return 0
+    return v.count(sub)
+
+
+@expr_function("string:deleteWhitespace")
+@elementwise
+def _su_deletewhitespace(v):
+    return None if v is None else "".join(v.split())
+
+
+# ---------------------------------------------------------------------------
+# number: (reference functions/NumberFunctions.java)
+# ---------------------------------------------------------------------------
+
+@expr_function("number:AsDouble")
+@elementwise
+def _n_asdouble(v):
+    return None if v is None else float(v)
+
+
+@expr_function("number:AsFloat")
+@elementwise
+def _n_asfloat(v):
+    return None if v is None else float(np.float32(v))
+
+
+@expr_function("number:AsInteger")
+@elementwise
+def _n_asinteger(v):
+    return None if v is None else int(v)
+
+
+@expr_function("number:Mantissa")
+@elementwise
+def _n_mantissa(v):
+    # fractional part (mathworld mantissa); integers → 0.0, null → 0.0
+    if v is None:
+        return 0.0
+    from decimal import Decimal
+
+    d = Decimal(str(v))
+    return float(d - int(d))
+
+
+# ---------------------------------------------------------------------------
+# decimal: (reference utils/DecimalTransform.java — BigDecimal helpers)
+# ---------------------------------------------------------------------------
+
+def _dec(v):
+    from decimal import Decimal
+
+    if v is None:
+        return None
+    return v if hasattr(v, "as_tuple") else Decimal(str(v))
+
+
+@expr_function("decimal:add")
+@elementwise
+def _dec_add(a, b):
+    a, b = _dec(a), _dec(b)
+    return None if a is None or b is None else a + b
+
+
+@expr_function("decimal:subtract")
+@elementwise
+def _dec_subtract(a, b):
+    a, b = _dec(a), _dec(b)
+    return None if a is None or b is None else a - b
+
+
+@expr_function("decimal:multiply")
+@elementwise
+def _dec_multiply(a, b):
+    a, b = _dec(a), _dec(b)
+    return None if a is None or b is None else a * b
+
+
+@expr_function("decimal:divideq")
+@elementwise
+def _dec_divideq(a, b):
+    a, b = _dec(a), _dec(b)
+    if a is None or b is None or b == 0:
+        return None
+    return a / b
+
+
+@expr_function("decimal:divider")
+@elementwise
+def _dec_divider(a, b):
+    a, b = _dec(a), _dec(b)
+    if a is None or b is None or b == 0:
+        return None
+    # Decimal // truncates toward zero, so this is BigDecimal.remainder
+    # (sign follows the dividend)
+    return a - (a // b) * b
+
+
+@expr_function("decimal:abs")
+@elementwise
+def _dec_abs(v):
+    d = _dec(v)
+    return None if d is None else abs(d)
+
+
+@expr_function("decimal:precision")
+@elementwise
+def _dec_precision(v):
+    d = _dec(v)
+    return None if d is None else len(d.as_tuple().digits)
+
+
+@expr_function("decimal:scale")
+@elementwise
+def _dec_scale(v):
+    d = _dec(v)
+    return None if d is None else max(0, -d.as_tuple().exponent)
+
+
+@expr_function("decimal:unscaled")
+@elementwise
+def _dec_unscaled(v):
+    d = _dec(v)
+    if d is None:
+        return None
+    t = d.as_tuple()
+    return (-1 if t.sign else 1) * int("".join(map(str, t.digits)) or "0")
+
+
+@expr_function("decimal:decimal_left")
+@elementwise
+def _dec_left(v, n):
+    d = _dec(v)
+    return None if d is None else d.scaleb(-int(n))
+
+
+@expr_function("decimal:decimal_right")
+@elementwise
+def _dec_right(v, n):
+    d = _dec(v)
+    return None if d is None else d.scaleb(int(n))
+
+
+@expr_function("decimal:pow")
+@elementwise
+def _dec_pow(v, p):
+    d = _dec(v)
+    return None if d is None else d ** int(p)
+
+
+@expr_function("decimal:negate")
+@elementwise
+def _dec_negate(v):
+    d = _dec(v)
+    return None if d is None else -d
+
+
+@expr_function("decimal:strip_zero")
+@elementwise
+def _dec_strip_zero(v):
+    d = _dec(v)
+    return None if d is None else d.normalize()
+
+
+@expr_function("decimal:sign")
+@elementwise
+def _dec_sign(v):
+    d = _dec(v)
+    return None if d is None else (0 if d == 0 else (1 if d > 0 else -1))
+
+
+# ---------------------------------------------------------------------------
+# arithmetic: (reference utils/ArithmeticOperations.java — null-propagating
+# variadic numeric ops)
+# ---------------------------------------------------------------------------
+
+@expr_function("arithmetic:add")
+@elementwise
+def _ar_add(*nums):
+    if any(n is None for n in nums):
+        return None
+    return sum(nums)
+
+
+@expr_function("arithmetic:minus")
+@elementwise
+def _ar_minus(x, y):
+    return None if x is None or y is None else x - y
+
+
+@expr_function("arithmetic:multiply")
+@elementwise
+def _ar_multiply(*nums):
+    if any(n is None for n in nums):
+        return None
+    out = 1
+    for n in nums:
+        out *= n
+    return out
+
+
+@expr_function("arithmetic:divideq")
+@elementwise
+def _ar_divideq(x, y):
+    if x is None or y is None or float(y) == 0:
+        return None
+    if isinstance(x, (int, np.integer)) and isinstance(y, (int, np.integer)):
+        return int(x) // int(y)  # Java integer division
+    return x / y
+
+
+@expr_function("arithmetic:divider")
+@elementwise
+def _ar_divider(x, y):
+    if x is None or y is None or float(y) == 0:
+        return None
+    return x % y
+
+
+@expr_function("arithmetic:lcm")
+@elementwise
+def _ar_lcm(x, y):
+    if x is None or y is None:
+        return None
+    ix, iy = int(x), int(y)
+    if ix == x and iy == y:
+        return _math.lcm(abs(ix), abs(iy))
+    from decimal import Decimal
+
+    dx, dy = Decimal(str(x)), Decimal(str(y))
+    scale = max(-dx.as_tuple().exponent, -dy.as_tuple().exponent, 0)
+    p = 10 ** scale
+    v1, v2 = int(dx * p), int(dy * p)
+    return float(Decimal(_math.lcm(abs(v1), abs(v2))) / p)
+
+
+@expr_function("arithmetic:equal")
+@elementwise
+def _ar_equal(*nums):
+    if any(n is None for n in nums):
+        return None
+    return all(n == nums[0] for n in nums)
+
+
+@expr_function("arithmetic:max")
+@elementwise
+def _ar_max(*nums):
+    if any(n is None for n in nums):
+        return None
+    return max(nums)
+
+
+@expr_function("arithmetic:min")
+@elementwise
+def _ar_min(*nums):
+    if any(n is None for n in nums):
+        return None
+    return min(nums)
+
+
+@expr_function("arithmetic:average")
+@elementwise
+def _ar_average(*nums):
+    if any(n is None for n in nums):
+        return None
+    return sum(nums) / len(nums)
+
+
+# ---------------------------------------------------------------------------
+# escape: (reference registers org.apache.commons StringEscapeUtils)
+# ---------------------------------------------------------------------------
+
+@expr_function("escape:escapeHtml", "escape:escapeHtml4")
+@elementwise
+def _esc_html(v):
+    import html as _html
+
+    return None if v is None else _html.escape(v, quote=True)
+
+
+@expr_function("escape:unescapeHtml", "escape:unescapeHtml4")
+@elementwise
+def _unesc_html(v):
+    import html as _html
+
+    return None if v is None else _html.unescape(v)
+
+
+@expr_function("escape:escapeXml", "escape:escapeXml11")
+@elementwise
+def _esc_xml(v):
+    from xml.sax.saxutils import escape as _xe
+
+    return None if v is None else _xe(v, {'"': "&quot;", "'": "&apos;"})
+
+
+@expr_function("escape:unescapeXml")
+@elementwise
+def _unesc_xml(v):
+    from xml.sax.saxutils import unescape as _xu
+
+    return None if v is None else _xu(v, {"&quot;": '"', "&apos;": "'"})
+
+
+@expr_function("escape:escapeJava")
+@elementwise
+def _esc_java(v):
+    if v is None:
+        return None
+    return v.encode("unicode_escape").decode("ascii").replace('"', '\\"')
+
+
+@expr_function("escape:unescapeJava")
+@elementwise
+def _unesc_java(v):
+    if v is None:
+        return None
+    return v.encode("ascii", "backslashreplace").decode("unicode_escape")
+
+
+@expr_function("escape:escapeCsv")
+@elementwise
+def _esc_csv(v):
+    if v is None:
+        return None
+    if any(c in v for c in ",\"\n\r"):
+        return '"' + v.replace('"', '""') + '"'
+    return v
+
+
+@expr_function("escape:unescapeCsv")
+@elementwise
+def _unesc_csv(v):
+    if v is None:
+        return None
+    if len(v) >= 2 and v.startswith('"') and v.endswith('"'):
+        return v[1:-1].replace('""', '"')
+    return v
+
+
+# ---------------------------------------------------------------------------
+# strings: (reference registers com.google.common.base.Strings)
+# ---------------------------------------------------------------------------
+
+@expr_function("strings:isNullOrEmpty")
+@elementwise
+def _gs_isnullorempty(v):
+    return v is None or v == ""
+
+
+@expr_function("strings:nullToEmpty")
+@elementwise
+def _gs_nulltoempty(v):
+    return "" if v is None else v
+
+
+@expr_function("strings:emptyToNull")
+@elementwise
+def _gs_emptytonull(v):
+    return None if v == "" or v is None else v
+
+
+@expr_function("strings:repeat")
+@elementwise
+def _gs_repeat(v, n):
+    return None if v is None else v * int(n)
+
+
+@expr_function("strings:padStart")
+@elementwise
+def _gs_padstart(v, n, c):
+    return None if v is None else v.rjust(int(n), str(c)[0])
+
+
+@expr_function("strings:padEnd")
+@elementwise
+def _gs_padend(v, n, c):
+    return None if v is None else v.ljust(int(n), str(c)[0])
+
+
+@expr_function("strings:commonPrefix")
+@elementwise
+def _gs_commonprefix(a, b):
+    if a is None or b is None:
+        return None
+    i = 0
+    while i < min(len(a), len(b)) and a[i] == b[i]:
+        i += 1
+    return a[:i]
+
+
+@expr_function("strings:commonSuffix")
+@elementwise
+def _gs_commonsuffix(a, b):
+    if a is None or b is None:
+        return None
+    i = 0
+    while i < min(len(a), len(b)) and a[len(a) - 1 - i] == b[len(b) - 1 - i]:
+        i += 1
+    return a[len(a) - i:]
+
+
+# ---------------------------------------------------------------------------
+# bytes: (reference registers io.cdap.wrangler.utils.Bytes)
+# ---------------------------------------------------------------------------
+
+@expr_function("bytes:toString")
+@elementwise
+def _by_tostring(v):
+    if v is None:
+        return None
+    return v.decode("utf-8", "replace") if isinstance(v, (bytes, bytearray)) else str(v)
+
+
+@expr_function("bytes:toBytes")
+@elementwise
+def _by_tobytes(v):
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, bool):
+        return bytes([1 if v else 0])
+    if isinstance(v, int):
+        return v.to_bytes(8, "big", signed=True)
+    if isinstance(v, float):
+        import struct as _struct
+
+        return _struct.pack(">d", v)
+    return str(v).encode("utf-8")
+
+
+@expr_function("bytes:toHexString")
+@elementwise
+def _by_tohex(v):
+    if v is None:
+        return None
+    b = v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+    return bytes(b).hex()
+
+
+@expr_function("bytes:fromHexString")
+@elementwise
+def _by_fromhex(v):
+    return None if v is None else bytes.fromhex(v)
+
+
+@expr_function("bytes:toInt")
+@elementwise
+def _by_toint(v):
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return int.from_bytes(v[:4], "big", signed=True)
+    return int(v)
+
+
+@expr_function("bytes:toLong")
+@elementwise
+def _by_tolong(v):
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return int.from_bytes(v[:8], "big", signed=True)
+    return int(v)
+
+
+# ---------------------------------------------------------------------------
 # json: (reference functions/JsonFunctions.java)
 # ---------------------------------------------------------------------------
 
