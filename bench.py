@@ -264,10 +264,13 @@ def run_benchmarks() -> dict:
     extras["dedup_kept"] = n_kept
 
     # blocks sized so each task runs >=250ms: Ray Data's streaming executor
-    # adds ~15-45ms of scheduling per task, which dominates with tiny blocks
+    # adds ~15-45ms of scheduling per task, which dominates with tiny blocks.
+    # DATA-derived (≈6k docs per block, clamped): a fixed small count caps
+    # parallelism once the corpus outgrows it
+    text_blocks = max(8, min(docs_rows // 6000, NUM_CPUS * 2))
     t0 = time.perf_counter()
     analyze(
-        rd.read_parquet(docs_cache, override_num_blocks=max(8, NUM_CPUS // 2))
+        rd.read_parquet(docs_cache, override_num_blocks=text_blocks)
     ).count()
     dt = time.perf_counter() - t0
     queries["text_analysis"] = round(dt, 3)
