@@ -269,6 +269,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "nation")
         return apply_recipe(ds, ["table-lookup :n_regionkey 'region'"])
 
+    def catalog_lookup_nation(sf_dir):
+        # broadcast-dict catalog built from the region table; supplier rows
+        # gain a <col>_<catalog>_description column
+        from wrangler_ray.directives.lookup import register_catalog
+
+        region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+        register_catalog(
+            "regioncat",
+            {
+                str(k): v
+                for k, v in zip(
+                    region.column("r_regionkey").to_pylist(),
+                    region.column("r_name").to_pylist(),
+                )
+            },
+        )
+        ds = _read(sf_dir, "nation")
+        return apply_recipe(ds, ["catalog-lookup regioncat :n_regionkey"])
+
     def split_words_docs(sf_dir):
         ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
         return apply_recipe(ds, ["split-to-rows :text ' '"])
@@ -817,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_regex_part": filter_regex_part,
         "cut_priority_orders": cut_priority_orders,
         "lookup_region_nation": lookup_region_nation,
+        "catalog_lookup_nation": catalog_lookup_nation,
         "split_words_docs": split_words_docs,
         "token_counts_docs": token_counts_docs,
         "dedup_exact_docs": dedup_exact_docs,
@@ -923,6 +943,12 @@ def oracle_sql() -> dict[str, str]:
         "lookup_region_nation": """
             SELECT n.n_nationkey, n.n_name, n.n_regionkey,
                    r.r_name AS n_regionkey_r_name
+            FROM nation n
+            LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        """,
+        "catalog_lookup_nation": """
+            SELECT n.n_nationkey, n.n_name, n.n_regionkey,
+                   r.r_name AS n_regionkey_regioncat_description
             FROM nation n
             LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
         """,
