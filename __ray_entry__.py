@@ -288,6 +288,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "nation")
         return apply_recipe(ds, ["catalog-lookup regioncat :n_regionkey"])
 
+    def datamodel_map_supplier(sf_dir):
+        # data-model glossary rename: s_name → supplier_name per a registered
+        # model (reference datamodel/DataModelMapColumn.java)
+        from wrangler_ray.directives.lookup import register_data_model
+
+        register_data_model(
+            "tpch_supplier", {"s_name": "supplier_name", "s_acctbal": "balance"}
+        )
+        ds = _read(sf_dir, "supplier")
+        return apply_recipe(
+            ds,
+            [
+                "data-model-map-column 'tpch_supplier' :s_name 'supplier_name'",
+                "data-model-map-column 'tpch_supplier' :s_acctbal 'balance'",
+            ],
+        )
+
     def split_words_docs(sf_dir):
         ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
         return apply_recipe(ds, ["split-to-rows :text ' '"])
@@ -837,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cut_priority_orders": cut_priority_orders,
         "lookup_region_nation": lookup_region_nation,
         "catalog_lookup_nation": catalog_lookup_nation,
+        "datamodel_map_supplier": datamodel_map_supplier,
         "split_words_docs": split_words_docs,
         "token_counts_docs": token_counts_docs,
         "dedup_exact_docs": dedup_exact_docs,
@@ -945,6 +963,11 @@ def oracle_sql() -> dict[str, str]:
                    r.r_name AS n_regionkey_r_name
             FROM nation n
             LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        """,
+        "datamodel_map_supplier": """
+            SELECT s_suppkey, s_name AS supplier_name, s_nationkey,
+                   s_acctbal AS balance
+            FROM supplier
         """,
         "catalog_lookup_nation": """
             SELECT n.n_nationkey, n.n_name, n.n_regionkey,

@@ -500,3 +500,15 @@ def test_manifest_directive_lineage(tmp_path, stream, ray_session):
     # a recipe-less apply records empty lineage
     m2 = table.apply_changes(stream["segments"])
     assert m2["directive_lineage"] == []
+
+
+def test_apply_rejects_segment_without_lsn(tmp_path, stream, ray_session):
+    """A non-segment parquet (e.g. a snapshot) in the binlog list must fail
+    loudly — null lsns would silently corrupt LWW ordering."""
+    table = _fresh_table(tmp_path, stream, ray_session)
+    with pytest.raises(ValueError, match="lsn"):
+        table.apply_changes([stream["base"]])
+    # a tail over a directory that also holds the base file fails the same way
+    seg_dir = os.path.dirname(stream["segments"][0])
+    with pytest.raises(ValueError, match="lsn"):
+        table.tail(seg_dir)  # default pattern picks up base.parquet

@@ -510,6 +510,19 @@ class CdcTable:
         with ThreadPoolExecutor(max_workers=16) as ex:
             metas = list(ex.map(pq.read_metadata, segment_paths))
         schemas = [m.schema.to_arrow_schema() for m in metas]
+        # every binlog segment must carry an lsn — a stray non-segment file
+        # (e.g. a snapshot parquet in the same directory) would otherwise
+        # enter the merge with null lsns and silently corrupt LWW ordering
+        missing = [
+            p for p, s in zip(segment_paths, schemas) if "lsn" not in s.names
+        ]
+        if missing:
+            raise ValueError(
+                "apply_changes: segment(s) without an 'lsn' column: "
+                + ", ".join(missing[:5])
+                + (" …" if len(missing) > 5 else "")
+                + " — snapshots load via init_from_snapshot, not the binlog"
+            )
         schema = unified_schema(schemas)
 
         # prune fully-applied segments via parquet footer statistics
