@@ -305,6 +305,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ],
         )
 
+    def transient_variables_orders(sf_dir):
+        # TransientStore GLOBAL scope via per-batch partials + driver merge:
+        # count urgent orders and sum their prices through
+        # increment-variable, returned as a 1-row table
+        from wrangler_ray.pipeline import collect_global_variables
+
+        ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+        vars_ = collect_global_variables(
+            ds,
+            [
+                "increment-variable n_urgent 1 exp:{o_orderpriority == '1-URGENT'}",
+                "increment-variable n_total 1 exp:{true}",
+            ],
+        )
+        return pa.table(
+            {
+                "n_urgent": pa.array([int(vars_["n_urgent"])], pa.int64()),
+                "n_total": pa.array([int(vars_["n_total"])], pa.int64()),
+            }
+        )
+
+    def flatten_split_docs(sf_dir):
+        # list column via string:split expression, exploded by `flatten`
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        return apply_recipe(
+            ds,
+            [
+                "set-column :tok exp:{string:split(text, ' ')}",
+                "flatten :tok",
+                "drop :text",
+            ],
+        )
+
+    def json_writers_nation(sf_dir):
+        ds = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+        return apply_recipe(
+            ds,
+            ["write-as-json-object :obj :n_nationkey,:n_name"],
+        )
+
     def split_words_docs(sf_dir):
         ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
         return apply_recipe(ds, ["split-to-rows :text ' '"])
@@ -855,6 +895,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lookup_region_nation": lookup_region_nation,
         "catalog_lookup_nation": catalog_lookup_nation,
         "datamodel_map_supplier": datamodel_map_supplier,
+        "transient_variables_orders": transient_variables_orders,
+        "flatten_split_docs": flatten_split_docs,
+        "json_writers_nation": json_writers_nation,
         "split_words_docs": split_words_docs,
         "token_counts_docs": token_counts_docs,
         "dedup_exact_docs": dedup_exact_docs,
@@ -963,6 +1006,21 @@ def oracle_sql() -> dict[str, str]:
                    r.r_name AS n_regionkey_r_name
             FROM nation n
             LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        """,
+        "transient_variables_orders": """
+            SELECT CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+                   count(*) AS n_total
+            FROM orders
+        """,
+        "flatten_split_docs": """
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        """,
+        "json_writers_nation": """
+            SELECT n_nationkey, n_name,
+                   '{"n_nationkey": ' || CAST(n_nationkey AS VARCHAR)
+                   || ', "n_name": "' || n_name || '"}' AS obj
+            FROM nation
         """,
         "datamodel_map_supplier": """
             SELECT s_suppkey, s_name AS supplier_name, s_nationkey,
