@@ -606,6 +606,43 @@ def simhash64(text: str) -> int:
     return int(out)
 
 
+def simhash64_batch(texts) -> np.ndarray:
+    """SimHash of every text in ONE pass: all tokens hashed with a single
+    pandas siphash call, per-document bit votes via np.add.reduceat over the
+    shared bit matrix. Identical values to per-text ``simhash64``."""
+    n = len(texts)
+    tok_lists = [t.lower().split() if t else [] for t in texts]
+    counts = np.array([len(ts) for ts in tok_lists], np.int64)
+    out = np.zeros(n, np.uint64)
+    nz = counts > 0
+    if not nz.any():
+        return out
+    all_toks = np.array(
+        [tok for ts in tok_lists for tok in ts], dtype=object
+    )
+    h = pd.util.hash_array(all_toks, categorize=False).astype(np.uint64)
+    nz_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
+    nz_ends = np.cumsum(counts)[nz]
+    shifts = np.arange(64, dtype=np.uint64)
+    # chunk the (tokens × 64) bit matrix at DOCUMENT boundaries with ≤2^17
+    # tokens per chunk: bounded temps (this VM punishes GB-scale allocations)
+    votes = np.empty((int(nz.sum()), 64), np.int64)
+    CH_TOK = 1 << 17
+    d = 0
+    n_docs = len(nz_starts)
+    while d < n_docs:
+        e = int(np.searchsorted(nz_ends, nz_starts[d] + CH_TOK, side="left"))
+        e = max(e, d + 1)
+        lo, hi = nz_starts[d], nz_ends[e - 1]
+        bits = ((h[lo:hi, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes[d:e] = np.add.reduceat(bits, nz_starts[d:e] - lo, axis=0)
+        d = e
+    pos = (votes * 2 - counts[nz][:, None]) > 0
+    weights = np.uint64(1) << shifts
+    out[nz] = (pos.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    return out
+
+
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
                   distributed: bool = False, max_driver_edges: int = 4_000_000):
     """SimHash near-dup: 64-bit signature, 4×16-bit band blocking (any pair
@@ -617,25 +654,23 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
     num_buckets = 64
 
     def sign(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         texts = t.column(text_col).to_pylist()
-        rows_band, rows_key, rows_id, rows_sig = [], [], [], []
-        for i, txt in enumerate(texts):
-            sh = simhash64(txt)
-            for b in range(4):
-                rows_band.append(b)
-                rows_key.append((sh >> (16 * b)) & 0xFFFF)
-                rows_id.append(ids[i])
-                rows_sig.append(sh - (1 << 63))  # store as signed int64
-        bkt = ((np.asarray(rows_key, np.int64) * 4 + np.asarray(rows_band, np.int64))
-               % num_buckets).astype(np.int32)
+        sh = simhash64_batch(texts)  # one siphash pass for the whole batch
+        n = len(sh)
+        # 4 band rows per doc, fully vectorized
+        rep_sh = np.repeat(sh, 4)
+        bands = np.tile(np.arange(4, dtype=np.uint64), n)
+        keys = ((rep_sh >> (bands * np.uint64(16))) & np.uint64(0xFFFF)).astype(np.int64)
+        bkt = ((keys * 4 + bands.astype(np.int64)) % num_buckets).astype(np.int32)
         return pa.table(
             {
                 "_bkt": pa.array(bkt),
-                "band": pa.array(rows_band, pa.int32()),
-                "key": pa.array(rows_key, pa.int32()),
-                id_col: pa.array(rows_id),
-                "sig": pa.array(rows_sig, pa.int64()),
+                "band": pa.array(bands.astype(np.int32)),
+                "key": pa.array(keys.astype(np.int32)),
+                id_col: pa.array(np.repeat(ids, 4)),
+                # order-preserving signed storage: v - 2^63 ≡ flipping the MSB
+                "sig": pa.array((rep_sh ^ np.uint64(1 << 63)).view(np.int64)),
             }
         )
 
