@@ -763,6 +763,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ],
         )
 
+    def parser_mega3_events(sf_dir):
+        # third parser family sweep: parse-as-avro (json mode + registered
+        # schema), parse-as-hl7, parse-as-date, mask-number
+        import json as _json
+
+        from wrangler_ray.directives.parsers import register_avro_schema
+
+        register_avro_schema(
+            "evrec",
+            _json.dumps(
+                {
+                    "type": "record", "name": "ev",
+                    "fields": [{"name": "k", "type": "long"},
+                               {"name": "tag", "type": "string"}],
+                }
+            ),
+        )
+        ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+        return apply_recipe(
+            ds,
+            [
+                'set-column :av exp:{concat(\'{"k": \', toString(event_id), '
+                "', \"tag\": \"', event_type, '\"}')}",
+                "parse-as-avro :av evrec json",
+                "set-column :hl7 exp:{concat('MSH|^~\\&|APP|FAC|||20200102||"
+                "ADT^A01|', toString(event_id), '|P|2.3')}",
+                "parse-as-hl7 :hl7 1",
+                "set-column :dstr exp:{'2020-01-02 03:04:05'}",
+                "parse-as-date :dstr",
+                "copy :event_id :masked",
+                "set-type :masked string",
+                "mask-number :masked 'xx###'",
+                "keep :event_id,:event_type,:av_k,:av_tag,:hl7_hl7,:dstr_1,:masked",
+            ],
+        )
+
     # -- invariant oracles for previously no_oracle operators ----------------
 
     def dedup_lsh_exact_invariant(sf_dir):
@@ -933,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dates_mega_events": dates_mega_events,
         "parser_mega_events": parser_mega_events,
         "parser_mega2_events": parser_mega2_events,
+        "parser_mega3_events": parser_mega3_events,
         "validate_standard_events": validate_standard_events,
         "dedup_lsh_exact_invariant": dedup_lsh_exact_invariant,
         "sample_reservoir_invariant": sample_reservoir_invariant,
@@ -1351,6 +1388,17 @@ def oracle_sql() -> dict[str, str]:
                    round(value, 2) AS cur_back
             FROM events
             WHERE value > 5
+        """,
+        "parser_mega3_events": r"""
+            SELECT event_id, event_type,
+                   event_id AS av_k,
+                   event_type AS av_tag,
+                   '{"MSH": [["^~\\&", "APP", "FAC", "", "", "20200102", "", '
+                   || '"ADT^A01", "' || CAST(event_id AS VARCHAR)
+                   || '", "P", "2.3"]]}' AS hl7_hl7,
+                   TIMESTAMP '2020-01-02 03:04:05' AS dstr_1,
+                   'xx' || substr(CAST(event_id AS VARCHAR), 3, 3) AS masked
+            FROM events
         """,
         "dedup_embedding_invariant": """
             SELECT vec_id FROM embeddings

@@ -410,3 +410,18 @@ def test_stringutils_additions():
     assert ev("string:chop(a)", a="abc") == "ab"
     assert ev("string:countMatches(a, 'ab')", a="ababab") == 3
     assert ev("string:deleteWhitespace(a)", a=" a b\tc ") == "abc"
+
+
+def test_operators_inside_string_literals_preserved():
+    """'||', '&&', '!', 'true' etc. INSIDE quoted literals must survive the
+    JEXL→python operator rewrite verbatim."""
+    assert ev("concat('A||B', '!', a)", a="x") == "A||B!x"
+    assert ev("concat('a&&b', ' true null ', a)", a="x") == "a&&b true null x"
+    assert bool(ev("a == 'x' && true", a="x")) is True
+
+
+def test_ternary_inside_call_args():
+    assert ev("concat(a > 1 ? 'hi' : 'lo', '-', a > 5 ? 'big' : 'small')", a=3) == "hi-small"
+    assert ev("padAtStart(a > 0 ? 'y' : 'n', 3, '.')", a=1) == "..y"
+    # nested parenthesized ternary
+    assert ev("a > 2 ? (a > 4 ? 'big' : 'mid') : 'small'", a=3) == "mid"

@@ -41,19 +41,88 @@ _NS_CALL = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*):([A-Za-z_][A-Za-z0-9_]*)\s*\(
 
 
 def _rewrite_ternary(src: str) -> str:
-    """Rewrite top-level ``cond ? a : b`` to ``((a) if (cond) else (b))``.
-    Handles nesting right-associatively; quote/paren aware."""
-    depth = 0
+    """Rewrite ``cond ? a : b`` to ``((a) if (cond) else (b))``, recursively:
+    parenthesized groups are rewritten inside-out and argument lists are
+    split on top-level commas (a ternary binds tighter than a comma), so
+    ``f(x > 1 ? 'a' : 'b', y)`` works. Quote-aware throughout."""
+    # 1. recurse into balanced () / [] groups
+    out = []
+    i, n = 0, len(src)
     in_str = None
-    q_pos = -1
-    i = 0
-    while i < len(src):
+    while i < n:
         c = src[i]
         if in_str:
-            if c == "\\":
+            out.append(c)
+            if c == "\\" and i + 1 < n:
+                out.append(src[i + 1])
                 i += 2
                 continue
             if c == in_str:
+                in_str = None
+            i += 1
+            continue
+        if c in "'\"":
+            in_str = c
+            out.append(c)
+            i += 1
+            continue
+        if c in "([":
+            close = ")" if c == "(" else "]"
+            depth = 1
+            j = i + 1
+            instr2 = None
+            while j < n and depth:
+                d = src[j]
+                if instr2:
+                    if d == "\\":
+                        j += 2
+                        continue
+                    if d == instr2:
+                        instr2 = None
+                elif d in "'\"":
+                    instr2 = d
+                elif d in "([":
+                    depth += 1
+                elif d in ")]":
+                    depth -= 1
+                j += 1
+            inner = src[i + 1 : j - 1]
+            out.append(c + _rewrite_ternary(inner) + close)
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    s = "".join(out)
+
+    # 2. split on top-level commas (argument lists) and rewrite each part
+    parts = []
+    depth = 0
+    in_str = None
+    last = 0
+    for i, c in enumerate(s):
+        if in_str:
+            if c == in_str and (i == 0 or s[i - 1] != "\\"):
+                in_str = None
+        elif c in "'\"":
+            in_str = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[last:i])
+            last = i + 1
+    parts.append(s[last:])
+    if len(parts) > 1:
+        return ",".join(_rewrite_ternary(p) for p in parts)
+
+    # 3. top-level cond ? a : b (right-associative)
+    depth = 0
+    in_str = None
+    q_pos = -1
+    for i, c in enumerate(s):
+        if in_str:
+            if c == in_str and s[i - 1] != "\\":
                 in_str = None
         elif c in "'\"":
             in_str = c
@@ -64,26 +133,60 @@ def _rewrite_ternary(src: str) -> str:
         elif c == "?" and depth == 0 and q_pos < 0:
             q_pos = i
         elif c == ":" and depth == 0 and q_pos >= 0:
-            cond = src[:q_pos]
-            a = src[q_pos + 1 : i]
-            b = src[i + 1 :]
+            cond = s[:q_pos]
+            a = s[q_pos + 1 : i]
+            b = s[i + 1 :]
             return f"(({_rewrite_ternary(a)}) if ({cond}) else ({_rewrite_ternary(b)}))"
-        i += 1
-    return src
+    return s
+
+
+def _split_literals(s: str):
+    """Split source into (is_string_literal, text) segments so operator
+    rewrites never touch the INSIDE of a quoted string (e.g. a '||' or '!'
+    in a concat literal must survive verbatim)."""
+    parts = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == c:
+                    j += 1
+                    break
+                j += 1
+            parts.append((True, s[i:j]))
+            i = j
+        else:
+            j = i
+            while j < n and s[j] not in "'\"":
+                j += 1
+            parts.append((False, s[i:j]))
+            i = j
+    return parts
 
 
 def preprocess(src: str) -> str:
-    s = src.strip()
-    # namespace calls: math:floor( → math__floor(
-    s = _NS_CALL.sub(r"\1__\2(", s)
-    # JEXL literals / operators (token-aware enough for our grammar subset)
-    s = re.sub(r"\bnull\b", "None", s)
-    s = re.sub(r"\btrue\b", "True", s)
-    s = re.sub(r"\bfalse\b", "False", s)
-    s = s.replace("&&", " and ").replace("||", " or ")
-    # '!' not part of '!=' → ' not '
-    s = re.sub(r"!(?!=)", " not ", s)
-    # ternary
+    out = []
+    for is_str, seg in _split_literals(src.strip()):
+        if is_str:
+            out.append(seg)
+            continue
+        # namespace calls: math:floor( → math__floor(
+        seg = _NS_CALL.sub(r"\1__\2(", seg)
+        # JEXL literals / operators (token-aware enough for our grammar subset)
+        seg = re.sub(r"\bnull\b", "None", seg)
+        seg = re.sub(r"\btrue\b", "True", seg)
+        seg = re.sub(r"\bfalse\b", "False", seg)
+        seg = seg.replace("&&", " and ").replace("||", " or ")
+        # '!' not part of '!=' → ' not '
+        seg = re.sub(r"!(?!=)", " not ", seg)
+        out.append(seg)
+    s = "".join(out)
+    # ternary (the rewriter is quote-aware)
     if "?" in s:
         s = _rewrite_ternary(s)
     return s
