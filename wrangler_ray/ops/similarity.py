@@ -41,15 +41,30 @@ def vecs_np(col, dtype=np.float32) -> np.ndarray:
     return np.array(arr.to_pylist(), dtype=dtype)  # ragged fallback
 
 
+# per-worker-process cache of fetched/normalized query matrices keyed by the
+# broadcast ref: task-based stages get actor-style fetch-once behavior without
+# pinning the stage to a fixed-size pool
+_QUERY_CACHE: dict = {}
+
+
+def _cached_queries(queries_ref) -> np.ndarray:
+    import ray
+
+    key = queries_ref.hex() if hasattr(queries_ref, "hex") else id(queries_ref)
+    q = _QUERY_CACHE.get(key)
+    if q is None:
+        q = _QUERY_CACHE[key] = _normalize(
+            np.asarray(ray.get(queries_ref), np.float32)
+        )
+    return q
+
+
 class _BatchTopK:
     """Per-batch exact cosine top-k against a broadcast query matrix.
-    Stateful stage: queries fetched from the object store ONCE per actor."""
+    Queries fetched from the object store once per worker process."""
 
     def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
-        import ray
-
-        q = ray.get(queries_ref)
-        self.q = _normalize(np.asarray(q, np.float32))  # (nq, d)
+        self.q = _cached_queries(queries_ref)  # (nq, d)
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
@@ -99,13 +114,25 @@ def brute_force_topk(
 
     queries = np.asarray(queries, np.float32)
     qref = ray.put(queries)
-    partials = ds.map_batches(
-        _BatchTopK,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        fn_constructor_kwargs=dict(queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col),
-        concurrency=concurrency or 4,  # callable class → actor pool; size it
-    )
+    if concurrency:
+        # explicit pool when the caller wants bounded concurrency
+        partials = ds.map_batches(
+            _BatchTopK,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_constructor_kwargs=dict(queries_ref=qref, k=k, vec_col=vec_col,
+                                       id_col=id_col),
+            concurrency=concurrency,
+        )
+    else:
+        # task-based default: scales with the cluster; the query matrix is
+        # fetched once per worker process via the broadcast-ref cache
+        def topk_batch(t: pa.Table) -> pa.Table:
+            return _BatchTopK(qref, k, vec_col, id_col)(t)
+
+        partials = ds.map_batches(
+            topk_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     # merge tiny per-batch top-k lists on the driver with a heap per query
     heaps: dict[int, list] = {}
@@ -166,29 +193,23 @@ def lsh_topk(
         accept.add(int(s))
         for j in range(num_planes):
             accept.add(int(s) ^ (1 << j))
-    accept_ref = ray.put((planes, accept))
     qref = ray.put(queries)
 
-    class PrunedTopK(_BatchTopK):
-        def __init__(self):
-            super().__init__(qref, k, vec_col, id_col)
-            pl, acc = ray.get(accept_ref)
-            self.planes = pl
-            self.accept = acc
+    acc_sorted = np.sort(np.fromiter(accept, np.int64, len(accept)))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return super().__call__(batch)
-            vecs = vecs_np(batch.column(vec_col))
-            bits = (_normalize(vecs) @ self.planes) > 0
-            keys = np.zeros(len(vecs), np.int64)
-            for j in range(self.planes.shape[1]):
-                keys |= bits[:, j].astype(np.int64) << j
-            mask = np.fromiter((int(x) in self.accept for x in keys), bool, len(keys))
-            pruned = batch.filter(pa.array(mask))
-            return super().__call__(pruned)
+    def pruned_batch(t: pa.Table) -> pa.Table:
+        inner = _BatchTopK(qref, k, vec_col, id_col)
+        if t.num_rows == 0:
+            return inner(t)
+        vecs = vecs_np(t.column(vec_col))
+        bits = (_normalize(vecs) @ planes) > 0
+        keys = np.zeros(len(vecs), np.int64)
+        for j in range(num_planes):
+            keys |= bits[:, j].astype(np.int64) << j
+        mask = np.isin(keys, acc_sorted)  # vectorized bucket membership
+        return inner(t.filter(pa.array(mask)))
 
-    partials = ds.map_batches(PrunedTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=4)
+    partials = ds.map_batches(pruned_batch, batch_format="pyarrow", zero_copy_batch=True)
     heaps: dict[int, list] = {}
     for row in partials.take_all():
         h = heaps.setdefault(row["query_idx"], [])
@@ -249,31 +270,25 @@ def ivf_topk(
                 v = x[m].mean(axis=0)
                 n = np.linalg.norm(v)
                 cent[c] = v / n if n else cent[c]
-    cent_ref = ray.put(cent)
     qref = ray.put(queries)
 
     q_unit = _normalize(queries)
     probes = np.argsort(-(q_unit @ cent.T), axis=1)[:, :nprobe]
-    probe_set = {int(c) for row in probes for c in row}
-    probe_ref = ray.put(probe_set)
+    probe_arr = np.unique(probes.ravel()).astype(np.int64)
 
-    class IvfTopK(_BatchTopK):
-        def __init__(self):
-            super().__init__(qref, k, vec_col, id_col)
-            self.cent = ray.get(cent_ref)
-            self.probe = ray.get(probe_ref)
+    # task-based stage: centroids (small) + probe set close over the function;
+    # the query matrix rides the broadcast-ref cache. Tasks scale with the
+    # cluster instead of a fixed 4-actor pool.
+    def ivf_batch(t: pa.Table) -> pa.Table:
+        inner = _BatchTopK(qref, k, vec_col, id_col)
+        if t.num_rows == 0:
+            return inner(t)
+        vecs = vecs_np(t.column(vec_col))
+        assign = (_normalize(vecs) @ cent.T).argmax(axis=1)
+        mask = np.isin(assign, probe_arr)
+        return inner(t.filter(pa.array(mask)))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return super().__call__(batch)
-            vecs = vecs_np(batch.column(vec_col))
-            assign = (_normalize(vecs) @ self.cent.T).argmax(axis=1)
-            mask = np.isin(assign, list(self.probe))
-            return super().__call__(batch.filter(pa.array(mask)))
-
-    partials = ds.map_batches(
-        IvfTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=4
-    )
+    partials = ds.map_batches(ivf_batch, batch_format="pyarrow", zero_copy_batch=True)
     heaps: dict[int, list] = {}
     for row in partials.take_all():
         h = heaps.setdefault(row["query_idx"], [])
