@@ -765,25 +765,50 @@ def embedding_dedup(
         return out
 
     def bucket_edges(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
+        # all pairs within each LSH key bucket, exact cosine verified —
+        # BATCHED by group-size class: groups of equal size stack into one
+        # (n_groups, s, d) tensor and verify with a single einsum, instead of
+        # one small matmul per group
+        from wrangler_ray.ops.similarity import vecs_np
+
+        if g.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        order = pc.sort_indices(
+            g, sort_keys=[("key", "ascending"), (id_col, "ascending")]
+        )
+        g = g.take(order)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        vecs = vecs_np(g.column(vec_col))
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        # group boundaries over the sorted keys
+        new_grp = np.ones(len(keys), bool)
+        new_grp[1:] = keys[1:] != keys[:-1]
+        gid = np.cumsum(new_grp) - 1
+        counts = np.bincount(gid)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
         a_out, b_out = [], []
-        for _, grp in df.groupby("key", sort=False):
-            if len(grp) < 2:
+        for s in np.unique(counts):
+            if s < 2:
                 continue
-            grp = grp.sort_values(id_col)
-            vecs = np.stack(grp[vec_col].to_numpy()).astype(np.float32)
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            unit = vecs / norms
-            sims = unit @ unit.T
-            ids = grp[id_col].tolist()
-            n = len(ids)
-            iu, ju = np.triu_indices(n, k=1)
-            hit = sims[iu, ju] >= cosine_threshold
-            for i, j in zip(iu[hit], ju[hit]):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+            gsel = np.nonzero(counts == s)[0]
+            idx = offsets[gsel][:, None] + np.arange(s)[None, :]  # (n_g, s)
+            m_ids = ids[idx]
+            m_vec = unit[idx]  # (n_g, s, d)
+            sims = np.einsum("gsd,gtd->gst", m_vec, m_vec)
+            iu, ju = np.triu_indices(int(s), k=1)
+            hit = sims[:, iu, ju] >= cosine_threshold  # (n_g, n_pairs)
+            gi, pi = np.nonzero(hit)
+            a_out.append(m_ids[gi, iu[pi]])
+            b_out.append(m_ids[gi, ju[pi]])
+        if not a_out:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                         "b": pa.array(np.concatenate(b_out), pa.int64())})
 
     signed = ds.map_batches(
         sign, batch_format="pyarrow", zero_copy_batch=True
