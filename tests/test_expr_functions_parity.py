@@ -425,3 +425,17 @@ def test_ternary_inside_call_args():
     assert ev("padAtStart(a > 0 ? 'y' : 'n', 3, '.')", a=1) == "..y"
     # nested parenthesized ternary
     assert ev("a > 2 ? (a > 4 ? 'big' : 'mid') : 'small'", a=3) == "mid"
+
+
+def test_json_namespace_additions():
+    import json
+
+    doc = json.dumps({"A": {"b": [1, 2, 3]}, "keep": 1, "drop_me": 2})
+    assert ev("json:select(a, 'A.b.1')", a=doc) == 2
+    assert ev("json:drop(a, 'drop_me')", a=doc) == {"A": {"b": [1, 2, 3]}, "keep": 1}
+    assert ev("json:keysToLower(a)", a=doc)["a"]["b"] == [1, 2, 3]
+    assert ev("json:join(a, '-')", a="[1, 2, 3]") == "1-2-3"
+    assert bool(ev("json:IsNull(a)", a="null")) is True
+    assert bool(ev("json:IsObject(a)", a=doc)) is True
+    assert bool(ev("json:IsArray(a)", a="[1]")) is True
+    assert bool(ev("json:IsArray(a)", a=doc)) is False

@@ -1858,6 +1858,92 @@ def _j_select(v, path):
     return obj
 
 
+@expr_function("json:select")
+@elementwise
+def _j_select_lower(v, *paths):
+    # lowercase `select(json, path...)` variant: dotted paths without the
+    # JsonPath `$` prefix (reference JsonFunctions.select:61-93)
+    if v is None:
+        return None
+    obj = _json.loads(v) if isinstance(v, str) else v
+    outs = []
+    for p in paths:
+        cur = obj
+        for part in str(p).split("."):
+            try:
+                cur = cur[int(part)] if isinstance(cur, list) else cur[part]
+            except (KeyError, IndexError, TypeError, ValueError):
+                cur = None
+                break
+        outs.append(cur)
+    return outs[0] if len(outs) == 1 else outs
+
+
+@expr_function("json:drop")
+@elementwise
+def _j_drop(v, *fields):
+    if v is None:
+        return None
+    obj = _json.loads(v) if isinstance(v, str) else v
+    if isinstance(obj, dict):
+        return {k: x for k, x in obj.items() if k not in fields}
+    return obj
+
+
+@expr_function("json:keysToLower")
+@elementwise
+def _j_keystolower(v):
+    if v is None:
+        return None
+
+    def low(o):
+        if isinstance(o, dict):
+            return {str(k).lower(): low(x) for k, x in o.items()}
+        if isinstance(o, list):
+            return [low(x) for x in o]
+        return o
+
+    return low(_json.loads(v) if isinstance(v, str) else v)
+
+
+@expr_function("json:join")
+@elementwise
+def _j_join(v, sep):
+    if v is None:
+        return None
+    obj = _json.loads(v) if isinstance(v, str) else v
+    if not isinstance(obj, (list, tuple, np.ndarray)):
+        return None
+    return str(sep).join(str(x) for x in obj)
+
+
+@expr_function("json:IsNull")
+@elementwise
+def _j_isnull(v):
+    if v is None:
+        return True
+    obj = _json.loads(v) if isinstance(v, str) else v
+    return obj is None
+
+
+@expr_function("json:IsObject")
+@elementwise
+def _j_isobject(v):
+    if v is None:
+        return False
+    obj = _json.loads(v) if isinstance(v, str) else v
+    return isinstance(obj, dict)
+
+
+@expr_function("json:IsArray")
+@elementwise
+def _j_isarray(v):
+    if v is None:
+        return False
+    obj = _json.loads(v) if isinstance(v, str) else v
+    return isinstance(obj, (list, tuple, np.ndarray))
+
+
 # ---------------------------------------------------------------------------
 # dq: data-quality checks (reference functions/DataQuality.java + Types.java)
 # ---------------------------------------------------------------------------
