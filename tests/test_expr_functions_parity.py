@@ -439,3 +439,27 @@ def test_json_namespace_additions():
     assert bool(ev("json:IsObject(a)", a=doc)) is True
     assert bool(ev("json:IsArray(a)", a="[1]")) is True
     assert bool(ev("json:IsArray(a)", a=doc)) is False
+
+
+def test_dq_card_brands_and_isbn():
+    assert bool(ev("dq:isVisa(a)", a="4111111111111111")) is True
+    assert bool(ev("dq:isVisa(a)", a="5500005555555559")) is False
+    assert bool(ev("dq:isMaster(a)", a="5555555555554444")) is True
+    assert bool(ev("dq:isAmex(a)", a="378282246310005")) is True
+    assert bool(ev("dq:isDiscover(a)", a="6011111111111117")) is True
+    assert bool(ev("dq:isDiner(a)", a="30569309025904")) is True
+    assert bool(ev("dq:isISBN10(a)", a="0-306-40615-2")) is True
+    assert bool(ev("dq:isISBN10(a)", a="0306406153")) is False
+    assert bool(ev("dq:isISBN13(a)", a="978-0-306-40615-7")) is True
+    assert bool(ev("dq:isISBN13(a)", a="9780306406158")) is False
+    assert bool(ev("dq:isGenericTld(a)", a=".com")) is True
+    assert bool(ev("dq:isCountryTld(a)", a=".uk")) is True
+    assert bool(ev("dq:isDomainTld(a)", a=".zzz")) is False
+    assert bool(ev("dq:isnull(a)", a=None)) is True
+    assert bool(ev("dq:isempty(a)", a="")) is True
+
+
+def test_logical_bit_compress_expand():
+    assert ev("logical:BitCompress(a)", a="1011") == 11
+    assert ev("logical:BitExpand(a)", a=11) == "1011"
+    assert ev("BitExpand(BitCompress(a))", a="1100") == "1100"

@@ -1954,6 +1954,164 @@ _IPV4_RE = _re.compile(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
 _DOMAIN_RE = _re.compile(r"^(?!-)[A-Za-z0-9\-]{1,63}(?<!-)(\.[A-Za-z]{2,})+$")
 
 
+@expr_function("logical:BitCompress", "BitCompress")
+@elementwise
+def _l_bitcompress(v):
+    return None if v is None else int(str(v), 2)
+
+
+@expr_function("logical:BitExpand", "BitExpand")
+@elementwise
+def _l_bitexpand(v):
+    return None if v is None else bin(int(v) & ((1 << 64) - 1))[2:]
+
+
+# card-brand prefixes per the reference's commons-validator usage
+_CARD_RES = {
+    "visa": _re.compile(r"^4\d{12}(\d{3})?(\d{3})?$"),
+    "master": _re.compile(r"^(5[1-5]\d{14}|2(2[2-9]\d{12}|[3-6]\d{13}|7[01]\d{12}|720\d{12}))$"),
+    "amex": _re.compile(r"^3[47]\d{13}$"),
+    "diner": _re.compile(r"^30[0-5]\d{11}|^3095\d{10}|^36\d{12}|^3[89]\d{12}$"),
+    "discover": _re.compile(r"^(6011|65\d{2}|64[4-9]\d)\d{12}$"),
+    "vpay": _re.compile(r"^4\d{12,18}$"),
+}
+
+
+def _luhn_ok(s: str) -> bool:
+    digits = [int(c) for c in s if c.isdigit()]
+    if len(digits) < 12:
+        return False
+    total = 0
+    for i, d in enumerate(reversed(digits)):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def _card_check(v, brand):
+    if not v:
+        return False
+    s = _re.sub(r"[\s-]", "", str(v))
+    return bool(_CARD_RES[brand].match(s)) and _luhn_ok(s)
+
+
+@expr_function("dq:isVisa")
+@elementwise
+def _dq_isvisa(v):
+    return _card_check(v, "visa")
+
+
+@expr_function("dq:isMaster")
+@elementwise
+def _dq_ismaster(v):
+    return _card_check(v, "master")
+
+
+@expr_function("dq:isAmex")
+@elementwise
+def _dq_isamex(v):
+    return _card_check(v, "amex")
+
+
+@expr_function("dq:isDiner")
+@elementwise
+def _dq_isdiner(v):
+    return _card_check(v, "diner")
+
+
+@expr_function("dq:isDiscover")
+@elementwise
+def _dq_isdiscover(v):
+    return _card_check(v, "discover")
+
+
+@expr_function("dq:isVPay")
+@elementwise
+def _dq_isvpay(v):
+    return _card_check(v, "vpay")
+
+
+def _isbn10_ok(s: str) -> bool:
+    if len(s) != 10:
+        return False
+    total = 0
+    for i, c in enumerate(s):
+        if c in "Xx":
+            if i != 9:
+                return False
+            d = 10
+        elif c.isdigit():
+            d = int(c)
+        else:
+            return False
+        total += (10 - i) * d
+    return total % 11 == 0
+
+
+def _isbn13_ok(s: str) -> bool:
+    if len(s) != 13 or not s.isdigit():
+        return False
+    total = sum(int(c) * (1 if i % 2 == 0 else 3) for i, c in enumerate(s))
+    return total % 10 == 0
+
+
+@expr_function("dq:isISBN10")
+@elementwise
+def _dq_isbn10(v):
+    if not v:
+        return False
+    return _isbn10_ok(_re.sub(r"[\s-]", "", str(v)))
+
+
+@expr_function("dq:isISBN13")
+@elementwise
+def _dq_isbn13(v):
+    if not v:
+        return False
+    return _isbn13_ok(_re.sub(r"[\s-]", "", str(v)))
+
+
+_GENERIC_TLDS = {"com", "org", "net", "info", "biz", "name", "pro", "edu",
+                 "gov", "int", "mil", "io", "dev", "app", "xyz"}
+_COUNTRY_TLDS = {"us", "uk", "de", "fr", "es", "it", "nl", "jp", "cn", "in",
+                 "br", "ru", "ca", "au", "ch", "se", "no", "fi", "dk", "ie",
+                 "at", "be", "pl", "pt", "gr", "cz", "kr", "mx", "za", "nz"}
+
+
+@expr_function("dq:isGenericTld")
+@elementwise
+def _dq_generic_tld(v):
+    return bool(v) and str(v).lstrip(".").lower() in _GENERIC_TLDS
+
+
+@expr_function("dq:isCountryTld")
+@elementwise
+def _dq_country_tld(v):
+    return bool(v) and str(v).lstrip(".").lower() in _COUNTRY_TLDS
+
+
+@expr_function("dq:isDomainTld")
+@elementwise
+def _dq_domain_tld(v):
+    s = str(v).lstrip(".").lower() if v else ""
+    return bool(s) and (s in _GENERIC_TLDS or s in _COUNTRY_TLDS)
+
+
+@expr_function("dq:isnull")
+@elementwise
+def _dq_isnull_lower(v):
+    return v is None
+
+
+@expr_function("dq:isempty")
+@elementwise
+def _dq_isempty_lower(v):
+    return v is not None and v == ""
+
+
 @expr_function("dq:isEmail")
 @elementwise
 def _dq_email(v):
