@@ -1049,7 +1049,7 @@ def _d_isdate(v):
         return False
 
 
-@expr_function("date:isTime")
+@expr_function("date:isTime", "isTime")
 @elementwise
 def _d_istime(v):
     if not isinstance(v, str):
@@ -2171,7 +2171,7 @@ def _dq_cc(v):
     return bool(v) and _luhn(str(v))
 
 
-@expr_function("dq:isDate")
+@expr_function("dq:isDate", "isDate")
 @elementwise
 def _dq_isdate(v):
     if v is None:
@@ -2203,7 +2203,7 @@ def _dq_inrange(v, lo, hi):
         return False
 
 
-@expr_function("dq:isNumber", "dq:isNumeric")
+@expr_function("dq:isNumber", "dq:isNumeric", "isNumber", "isDouble")
 @elementwise
 def _dq_isnumber(v):
     if v is None:
@@ -2217,7 +2217,7 @@ def _dq_isnumber(v):
         return False
 
 
-@expr_function("dq:isInteger")
+@expr_function("dq:isInteger", "isInteger")
 @elementwise
 def _dq_isint(v):
     if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
@@ -2229,13 +2229,13 @@ def _dq_isint(v):
         return False
 
 
-@expr_function("dq:isBoolean")
+@expr_function("dq:isBoolean", "isBoolean")
 @elementwise
 def _dq_isbool(v):
     return isinstance(v, (bool, np.bool_)) or str(v).lower() in ("true", "false")
 
 
-@expr_function("dq:isEmpty")
+@expr_function("dq:isEmpty", "isEmpty")
 @elementwise
 def _dq_isempty(v):
     return v is None or str(v) == ""
