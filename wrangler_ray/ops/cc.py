@@ -107,7 +107,11 @@ def connected_components(edges, max_iters: int = 25, num_buckets: int = 64):
     ).materialize()
 
     def signature(lab) -> tuple:
-        return (lab.count(), lab.sum("label"))
+        # ONE Ray job for the (count, sum) convergence check, not two
+        from ray.data.aggregate import Count, Sum
+
+        agg = lab.aggregate(Count(alias_name="n"), Sum("label", alias_name="s"))
+        return (agg["n"], agg["s"])
 
     prev_sig = signature(labels)
     for _ in range(max_iters):

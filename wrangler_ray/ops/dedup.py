@@ -173,15 +173,24 @@ def _group_all_pairs(df: pd.DataFrame, key_cols: list, id_col: str,
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
+def _dedupe_pairs_df(df: pd.DataFrame) -> pd.DataFrame:
+    """Deduplicate an (a, b[, ch]) edge frame; a pair flagged as a chain edge
+    (ch=1: guaranteed-duplicate, skips verification) in ANY bucket keeps the
+    flag."""
+    if "ch" in df.columns:
+        return df.groupby(["a", "b"], sort=False, as_index=False)["ch"].max()
+    return df.drop_duplicates(ignore_index=True)
+
+
 def _collect_edges(ds_pairs) -> pd.DataFrame:
-    """Collect candidate edges on the driver as a deduplicated (a, b) frame
-    (caller has already checked |edges| fits driver memory). Arrow-batch
-    collection + vectorized drop_duplicates — never per-row dict iteration."""
+    """Collect candidate edges on the driver as a deduplicated (a, b[, ch])
+    frame (caller has already checked |edges| fits driver memory). Arrow-batch
+    collection + vectorized dedupe — never per-row dict iteration."""
     tabs = list(ds_pairs.iter_batches(batch_size=None, batch_format="pyarrow"))
     t = pa.concat_tables([t for t in tabs if t.num_rows]) if tabs else None
     if t is None or t.num_rows == 0:
         return pd.DataFrame({"a": [], "b": []})
-    return t.to_pandas().drop_duplicates(ignore_index=True)
+    return _dedupe_pairs_df(t.to_pandas())
 
 
 def _distinct_pairs(pairs):
@@ -202,9 +211,12 @@ def _distinct_pairs(pairs):
         return t.append_column("_pb", pa.array((h % 64).astype(np.int32)))
 
     def dedupe(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().drop_duplicates(["a", "b"])
-        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64)),
-                         "b": pa.array(df["b"].to_numpy(np.int64))})
+        df = _dedupe_pairs_df(g.drop_columns(["_pb"]).to_pandas())
+        cols = {"a": pa.array(df["a"].to_numpy(np.int64)),
+                "b": pa.array(df["b"].to_numpy(np.int64))}
+        if "ch" in df.columns:
+            cols["ch"] = pa.array(df["ch"].to_numpy(np.int8))
+        return pa.table(cols)
 
     return (
         pairs.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
@@ -392,13 +404,27 @@ def minhash_lsh_dedup(
         same_bucket[1:] = (band[1:] == band[:-1]) & (key[1:] == key[:-1])
         same_dig = same_bucket.copy()
         same_dig[1:] &= dig[1:] == dig[:-1]
-        # chain edges inside each digest group
-        chain_a, chain_b = ids[:-1][same_dig[1:]], ids[1:][same_dig[1:]]
+        # STAR edges inside each digest group (hub = the group's first/min
+        # id): g-1 edges like a chain, but graph diameter stays 2 so the
+        # distributed min-label propagation converges in ~3 shuffle rounds
+        # (a chain of g duplicates needs g rounds). A star hub is safe HERE
+        # because same-digest edges are duplicates by construction and skip
+        # verification — the hub can never be rejected.
+        group_first = np.cumsum(~same_dig) - 1  # index into the firsts array
+        firsts = ids[~same_dig]
+        member_rows = same_dig
+        star_a = firsts[group_first[member_rows]]
+        star_b = ids[member_rows]
         # representatives: first row of each (band,key,dig) group
         reps = df[~same_dig]
         rep_a, rep_b = _group_all_pairs(reps, ["band", "key"], id_col)
-        return (np.concatenate([chain_a, rep_a]),
-                np.concatenate([chain_b, rep_b]))
+        # ch=1 marks same-digest edges: identical shingle sets ⇒ true
+        # Jaccard 1.0 ⇒ accepted at any threshold WITHOUT verification
+        ch = np.concatenate(
+            [np.ones(len(star_a), np.int8), np.zeros(len(rep_a), np.int8)]
+        )
+        return (np.concatenate([star_a, rep_a]),
+                np.concatenate([star_b, rep_b]), ch)
 
     def bucket_edges(g: pa.Table) -> pa.Table:
         # one coarse bucket holds MANY (band,key) LSH buckets → vectorized
@@ -410,9 +436,13 @@ def minhash_lsh_dedup(
         # the signature-digest reduction collapsing identical-signature
         # members to chains + one representative.
         df = g.to_pandas()
-        a_np, b_np = _digest_pairs(df)
-        out = pd.DataFrame({"a": a_np, "b": b_np}).drop_duplicates()
-        return pa.table({"a": pa.array(out["a"]), "b": pa.array(out["b"])})
+        a_np, b_np, ch = _digest_pairs(df)
+        out = (
+            pd.DataFrame({"a": a_np, "b": b_np, "ch": ch})
+            .groupby(["a", "b"], sort=False, as_index=False)["ch"].max()
+        )  # dedupe; a pair that is a chain edge in ANY bucket stays a chain
+        return pa.table({"a": pa.array(out["a"]), "b": pa.array(out["b"]),
+                         "ch": pa.array(out["ch"].astype(np.int8))})
 
     banded = signed.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
     pairs = banded.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
@@ -431,6 +461,11 @@ def minhash_lsh_dedup(
     if len(edges):
         a_ids = edges["a"].to_numpy()
         b_ids = edges["b"].to_numpy()
+        chain_mask = (
+            edges["ch"].to_numpy().astype(bool)
+            if "ch" in edges.columns
+            else np.zeros(len(a_ids), bool)
+        )
         cand = np.unique(np.concatenate([a_ids, b_ids]))
 
         # fetch candidate SIGNATURES (num_perm·8 bytes each, not texts),
@@ -464,6 +499,7 @@ def minhash_lsh_dedup(
             est[sl] = (mat[ia[sl]] == mat[ib[sl]]).mean(axis=1)
 
         accept = est >= jaccard_threshold + exact_margin
+        accept |= chain_mask  # same shingle set ⇒ true Jaccard 1.0
         borderline = (~accept) & (est >= jaccard_threshold - exact_margin)
 
         if borderline.any():
@@ -857,18 +893,44 @@ def ngram_jaccard_dedup(
 
 
 def _distributed_dedup_finish(ds, signed, pairs, id_col, num_perm, jaccard_threshold):
-    """No-driver-state tail of minhash_lsh_dedup: verify candidate edges with
-    the MinHash Jaccard estimate by attaching signatures through two bucketed
-    groupbys (NO Dataset.join — Ray 2.49's hash-join aggregator rejects the
-    empty partitions tiny/skewed key spaces produce), then cluster with
-    distributed min-label propagation and drop non-representatives. Every
-    step is a Dataset operation."""
+    """No-driver-state tail of minhash_lsh_dedup: chain edges (ch=1: identical
+    shingle sets, guaranteed duplicates) skip verification entirely — on a
+    dup-heavy corpus that is the vast majority of edges; only the
+    representative pairs carry signatures through the two bucketed-groupby
+    attach stages (NO Dataset.join — Ray 2.49's hash-join aggregator rejects
+    the empty partitions tiny/skewed key spaces produce) and the MinHash
+    estimate filter. Clustering + drop run via distributed min-label
+    propagation. Every step is a Dataset operation."""
     import ray.data as rd
 
     from wrangler_ray.ops.cc import connected_components, drop_non_representatives
 
     B = 64
     sig_bytes = num_perm * 8
+
+    def split_chain(t: pa.Table, want_chain: bool) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        if "ch" not in t.column_names:
+            # unflagged edge stream: everything needs verification
+            return t.select(["a", "b"]) if not want_chain else pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        ch = t.column("ch").to_numpy(zero_copy_only=False).astype(bool)
+        mask = ch if want_chain else ~ch
+        return t.filter(pa.array(mask)).select(["a", "b"])
+
+    import functools
+
+    chain_edges = pairs.map_batches(
+        functools.partial(split_chain, want_chain=True),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    pairs = pairs.map_batches(
+        functools.partial(split_chain, want_chain=False),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
     def _frame(k, other, sig, side):
         return pa.table(
@@ -951,8 +1013,10 @@ def _distributed_dedup_finish(ds, signed, pairs, id_col, num_perm, jaccard_thres
             {"a": pa.array(a_ids[keep], pa.int64()), "b": pa.array(b_ids[keep], pa.int64())}
         )
 
-    verified = st2.map_batches(
-        est_filter, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    verified = (
+        st2.map_batches(est_filter, batch_format="pyarrow", zero_copy_batch=True)
+        .union(chain_edges)
+        .materialize()
+    )
     labels = connected_components(verified)
     return drop_non_representatives(ds, labels, id_col=id_col)
