@@ -14,8 +14,6 @@ Shuffle shape (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -358,27 +356,29 @@ def minhash_lsh_dedup(
         )
         ids = t.column(id_col)
         # shingle-SET digest (computed in sign): members of a bucket with the
-        # same digest have true Jaccard 1.0; bucket_edges emits chain edges
+        # same digest have true Jaccard 1.0; bucket_edges emits star edges
         # within a digest group and all-pairs only ACROSS digests
         digs = t.column("dig")
-        out_band, out_key, out_id = [], [], []
-        for b in range(bands):
-            chunk = np.ascontiguousarray(sigs[:, b * rows_per_band : (b + 1) * rows_per_band])
-            for i in range(n):
-                key = int.from_bytes(
-                    hashlib.blake2b(chunk[i].tobytes(), digest_size=8).digest(), "little"
-                ) >> 1
-                out_band.append(b)
-                out_key.append(key)
-            out_id.extend(range(n))
-        keys = np.asarray(out_key, np.uint64)
-        bkt = ((keys ^ (np.asarray(out_band, np.uint64) << np.uint64(56)))
+        # band keys fully vectorized: fold the band's minhash components with
+        # a murmur-mixed multiply-accumulate (no per-row hashlib calls —
+        # bands × n blake2b invocations dominated this stage)
+        K = np.uint64(0x9E3779B97F4A7C15)
+        out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        keys = np.empty(bands * n, np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(bands):
+                chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+                acc = np.full(n, np.uint64(b + 1), np.uint64)
+                for c in range(chunk.shape[1]):
+                    acc = _mix64(acc * K ^ chunk[:, c])
+                keys[b * n : (b + 1) * n] = acc >> np.uint64(1)
+        bkt = ((keys ^ (out_band.astype(np.uint64) << np.uint64(56)))
                % np.uint64(num_buckets)).astype(np.int32)
-        idx = pa.array(out_id, pa.int64())
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
         return pa.table(
             {
                 "_bkt": pa.array(bkt),
-                "band": pa.array(out_band, pa.int32()),
+                "band": pa.array(out_band),
                 "key": pa.array(keys.astype(np.int64), pa.int64()),
                 id_col: ids.take(idx),
                 "dig": digs.take(idx),
