@@ -78,6 +78,9 @@ def connected_components(edges, max_iters: int = 25, num_buckets: int = 64):
     def offers(g: pa.Table) -> pa.Table:
         # one coarse bucket: nodes' current labels + their out-edges.
         # vectorized: label per node, then a pandas merge edges⋈labels.
+        # NOTE: the emitted offers are keyed on the edge's OTHER endpoint,
+        # which may live in a different bucket — the per-u min happens in the
+        # NEXT round's bucket (or the final reduce below).
         if g.num_rows == 0 or "k" not in g.column_names:
             return _EMPTY_LABELS
         df = g.to_pandas()
@@ -86,8 +89,14 @@ def connected_components(edges, max_iters: int = 25, num_buckets: int = 64):
         off = e.merge(labs.rename("label"), left_on="k", right_index=True)
         out_u = np.concatenate([off["val"].to_numpy(np.int64), labs.index.to_numpy(np.int64)])
         out_l = np.concatenate([off["label"].to_numpy(np.int64), labs.to_numpy(np.int64)])
+        # pre-reduce within the bucket: one row per (u) for offers that land
+        # here; cross-bucket duplicates are merged by the global Min reduce
+        red = pd.DataFrame({"u": out_u, "label": out_l}).groupby(
+            "u", sort=False, as_index=False
+        )["label"].min()
         return pa.table(
-            {"u": pa.array(out_u, pa.int64()), "label": pa.array(out_l, pa.int64())}
+            {"u": pa.array(red["u"].to_numpy(np.int64)),
+             "label": pa.array(red["label"].to_numpy(np.int64))}
         )
 
     # init: label(u) = min(u, min neighbor)
