@@ -321,3 +321,74 @@ def test_parse_as_avro_file_cdap_log():
     # a non-avro payload diverts to the error channel
     bad = pa.table({"body": pa.array([b"not avro"], pa.binary())})
     assert run(["parse-as-avro-file :body"], bad).num_rows == 0
+
+
+# --- transformation/QuantizationTest.java (end-to-end recipe shape) ----------
+
+def test_quantize_endtoend_with_null_ternary():
+    """Ported from QuantizationTest.testQuanitization: parse a CSV row blob,
+    quantize the wage column, and rewrite nulls via a ternary set-column."""
+    rows = [
+        "1098,Root,11.79", "1091,Root,129.13", "1092,Root,9.54",
+        "1093,Root,7.89", "1094,Root,45.67", "1094,Root,20.7",
+    ]
+    t = pa.table({"__col": rows})
+    out = run(
+        [
+            "parse-as-csv :__col ','",
+            "drop :__col",
+            "set-headers :id,:first,:hrlywage",
+            "set-type :hrlywage double",
+            "quantize :hrlywage :wagerange '0.0:20.0=LOW,21.0:75.0=MEDIUM,75.1:200.0=HIGH'",
+            "set-column :wagerange exp:{wagerange == null ? 'NOT FOUND' : wagerange}",
+        ],
+        t,
+    )
+    got = col(out, "wagerange")
+    assert got.count("LOW") == 3      # 11.79, 9.54, 7.89
+    assert got.count("MEDIUM") == 1   # 45.67
+    assert got.count("HIGH") == 1     # 129.13
+    assert got.count("NOT FOUND") == 1  # 20.7 falls between ranges
+
+
+# --- transformation/MessageHashTest.java -------------------------------------
+
+def test_hash_algorithms_match_hashlib():
+    import hashlib as _h
+
+    t = pa.table({"m": ["secret message"]})
+    for algo, fn in (("MD5", _h.md5), ("SHA-1", _h.sha1),
+                     ("SHA-256", _h.sha256), ("SHA-384", _h.sha384),
+                     ("SHA-512", _h.sha512)):
+        out = run([f"hash :m '{algo}' true"], t)
+        assert col(out, "m") == [fn(b"secret message").hexdigest()], algo
+
+
+# --- transformation/TextDistanceMeasureTest.java ------------------------------
+
+def test_text_distance_metrics():
+    t = pa.table({"a": ["kitten", "abc"], "b": ["sitting", "abc"]})
+    lev = col(run(["text-distance levenshtein :a :b :d"], t), "d")
+    assert lev[0] == 3.0 and lev[1] == 0.0
+    # metric similarity in [0,1], 1.0 for identical
+    sim = col(run(["text-metric levenshtein :a :b :s"], t), "s")
+    assert sim[1] == 1.0 and 0 < sim[0] < 1
+
+
+# --- column/MergeTest.java multi-char separators ------------------------------
+
+def test_merge_multichar_separator():
+    t = pa.table({"a": ["x"], "b": ["y"]})
+    assert col(run(["merge :a :b :m '---'"], t), "m") == ["x---y"]
+
+
+# --- transformation/GenerateUUIDTest.java (deterministic under seeded env) ----
+
+def test_generate_uuid_shape_and_uniqueness():
+    t = pa.table({"x": list(range(50))})
+    out = run(["generate-uuid :u"], t)
+    us = col(out, "u")
+    assert len(set(us)) == 50
+    import re as _re
+
+    assert all(_re.fullmatch(r"[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}", u) for u in us)
