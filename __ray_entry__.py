@@ -345,6 +345,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["write-as-json-object :obj :n_nationkey,:n_name"],
         )
 
+    def sort_topk_orders(sf_dir):
+        # Ray-native distributed sort + limit (the wide path Ray Data owns)
+        ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+        out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+        return pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+
     def split_words_docs(sf_dir):
         ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
         return apply_recipe(ds, ["split-to-rows :text ' '"])
@@ -932,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catalog_lookup_nation": catalog_lookup_nation,
         "datamodel_map_supplier": datamodel_map_supplier,
         "transient_variables_orders": transient_variables_orders,
+        "sort_topk_orders": sort_topk_orders,
         "flatten_split_docs": flatten_split_docs,
         "json_writers_nation": json_writers_nation,
         "split_words_docs": split_words_docs,
@@ -1043,6 +1052,12 @@ def oracle_sql() -> dict[str, str]:
                    r.r_name AS n_regionkey_r_name
             FROM nation n
             LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        """,
+        "sort_topk_orders": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
         """,
         "transient_variables_orders": """
             SELECT CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
