@@ -176,7 +176,13 @@ def _dedupe_pairs_df(df: pd.DataFrame) -> pd.DataFrame:
     (ch=1: guaranteed-duplicate, skips verification) in ANY bucket keeps the
     flag."""
     if "ch" in df.columns:
-        return df.groupby(["a", "b"], sort=False, as_index=False)["ch"].max()
+        # keep the max ch per pair WITHOUT a groupby: stable-sort chain rows
+        # first, then hash-based drop_duplicates keeps them (measured several
+        # times faster than groupby(["a","b"]).max on millions of edges)
+        return (
+            df.sort_values("ch", ascending=False, kind="stable")
+            .drop_duplicates(["a", "b"], ignore_index=True)
+        )
     return df.drop_duplicates(ignore_index=True)
 
 
@@ -437,10 +443,7 @@ def minhash_lsh_dedup(
         # members to chains + one representative.
         df = g.to_pandas()
         a_np, b_np, ch = _digest_pairs(df)
-        out = (
-            pd.DataFrame({"a": a_np, "b": b_np, "ch": ch})
-            .groupby(["a", "b"], sort=False, as_index=False)["ch"].max()
-        )  # dedupe; a pair that is a chain edge in ANY bucket stays a chain
+        out = _dedupe_pairs_df(pd.DataFrame({"a": a_np, "b": b_np, "ch": ch}))
         return pa.table({"a": pa.array(out["a"]), "b": pa.array(out["b"]),
                          "ch": pa.array(out["ch"].astype(np.int8))})
 
