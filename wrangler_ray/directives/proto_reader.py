@@ -167,7 +167,8 @@ def _unpack_packed(ftype: int, payload: bytes) -> list:
             shift += 7
         if ftype in (_T_SINT32, _T_SINT64):
             v = _zigzag(v)
-        elif ftype in (_T_INT32, _T_INT64) and v >= 1 << 63:
+        elif ftype in (_T_INT32, _T_INT64, _T_ENUM) and v >= 1 << 63:
+            # negative int32/int64/enum values arrive as 10-byte varints
             v -= 1 << 64
         elif ftype == _T_BOOL:
             v = bool(v)
@@ -199,7 +200,7 @@ def decode_message(data: bytes, messages: dict, name: str) -> dict:
             val = raw
         elif ftype in (_T_INT32, _T_INT64, _T_UINT32, _T_UINT64, _T_ENUM):
             val = raw if isinstance(raw, int) else int.from_bytes(raw, "little")
-            if ftype in (_T_INT32, _T_INT64) and isinstance(val, int) and val >= 1 << 63:
+            if ftype in (_T_INT32, _T_INT64, _T_ENUM) and isinstance(val, int) and val >= 1 << 63:
                 val -= 1 << 64
         elif ftype in (_T_SINT32, _T_SINT64):
             val = _zigzag(raw)

@@ -1540,7 +1540,9 @@ def _ar_divideq(x, y):
     if x is None or y is None or float(y) == 0:
         return None
     if isinstance(x, (int, np.integer)) and isinstance(y, (int, np.integer)):
-        return int(x) // int(y)  # Java integer division
+        # Java integer division truncates toward zero; Python // floors
+        q = abs(int(x)) // abs(int(y))
+        return q if (x >= 0) == (y >= 0) else -q
     return x / y
 
 
@@ -1549,7 +1551,11 @@ def _ar_divideq(x, y):
 def _ar_divider(x, y):
     if x is None or y is None or float(y) == 0:
         return None
-    return x % y
+    # Java remainder: sign follows the DIVIDEND (ArithmeticOperations
+    # semantics, matching decimal:divider) — Python % follows the divisor
+    if isinstance(x, (int, np.integer)) and isinstance(y, (int, np.integer)):
+        return int(_math.fmod(int(x), int(y)))
+    return _math.fmod(x, y)
 
 
 @expr_function("arithmetic:lcm")

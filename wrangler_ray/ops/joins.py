@@ -34,6 +34,27 @@ def join_partitions(requested: Optional[int] = None) -> int:
     return min(requested, cap) if requested else cap
 
 
+# per-worker-process cache of the fetched broadcast table keyed by its object
+# ref: task-based probe stages get actor-style fetch-once behavior WITHOUT
+# pinning the stage to a fixed-size pool (a fixed pool caps the probe at that
+# many workers no matter how wide the cluster is). Bounded — workers serving
+# many joins must not hold every small side forever.
+_BCAST_CACHE: dict = {}
+_BCAST_CACHE_MAX = 4
+
+
+def _cached_table(ref) -> pa.Table:
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    t = _BCAST_CACHE.get(key)
+    if t is None:
+        t = _BCAST_CACHE[key] = ray.get(ref)
+        while len(_BCAST_CACHE) > _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+    return t
+
+
 def broadcast_join(
     ds,
     small: pa.Table,
@@ -43,38 +64,27 @@ def broadcast_join(
     suffix: str = "_r",
 ):
     """Broadcast-hash join: ``small`` is put in the object store once;
-    every task fetches it once and probes per batch with a pyarrow join."""
+    every worker process fetches it once (per-process ref-keyed cache) and
+    probes per batch with a pyarrow join. Task-based — scales to the full
+    cluster width instead of a fixed actor pool."""
     import ray
 
     right_on = right_on or on
     small_ref = ray.put(small)
+    join_type = how + " outer" if how in ("left", "right", "full") else how
 
-    class Probe:
-        def __init__(self):
-            t = ray.get(small_ref)
-            # pre-rename collision columns once per actor
-            renames = {}
-            for c in t.column_names:
-                if c != right_on and c in set(t.column_names):
-                    renames[c] = c
-            self.small = t
-            self.right_on = right_on
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch
-            right = self.small
-            overlap = (set(batch.column_names) & set(right.column_names)) - {self.right_on}
-            if overlap:
-                right = right.rename_columns(
-                    [c + suffix if c in overlap else c for c in right.column_names]
-                )
-            return batch.join(
-                right, keys=[on], right_keys=[self.right_on], join_type=how + " outer"
-                if how in ("left", "right", "full") else how,
+    def probe(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        right = _cached_table(small_ref)
+        overlap = (set(batch.column_names) & set(right.column_names)) - {right_on}
+        if overlap:
+            right = right.rename_columns(
+                [c + suffix if c in overlap else c for c in right.column_names]
             )
+        return batch.join(right, keys=[on], right_keys=[right_on], join_type=join_type)
 
-    return ds.map_batches(Probe, batch_format="pyarrow", zero_copy_batch=True, concurrency=4)
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def hash_join(

@@ -41,10 +41,13 @@ def poisson(ds, mean: float, seed: int = 42):
     return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def reservoir(ds, k: int, seed: int = 42) -> pa.Table:
+def reservoir(ds, k: int, seed: int = 42, num_buckets: int = 32) -> pa.Table:
     """Reservoir sample of k rows: per-batch partial reservoirs (weighted by
-    a uniform key — the 'A-Res' trick: keep k rows with the largest
-    u^(1/1) random keys) merged on the driver. Deterministic given seed."""
+    a uniform key — the 'A-Res' trick: keep k rows with the largest uniform
+    random keys), reduced through a bucketed per-bucket top-k exchange so the
+    driver sees at most ``num_buckets × k`` rows — at 10^6 blocks the naive
+    one-level merge would pull 10^6·k rows driver-side. Deterministic given
+    seed."""
 
     def partial(batch: pa.Table) -> pa.Table:
         import zlib
@@ -56,12 +59,31 @@ def reservoir(ds, k: int, seed: int = 42) -> pa.Table:
             top = np.argpartition(-keys, k - 1)[:k]
             batch = batch.take(pa.array(top))
             keys = keys[top]
-        return batch.append_column("_resk", pa.array(keys, pa.float64()))
+        b = batch.append_column("_resk", pa.array(keys, pa.float64()))
+        # bucket by the random key itself — any deterministic partition works
+        # for a top-k-by-key merge
+        return b.append_column(
+            "_resb", pa.array((keys * num_buckets).astype(np.int32))
+        )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    if not parts:
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows > k:
+            g = g.sort_by([("_resk", "descending")]).slice(0, k)
+        return g.drop_columns(["_resb"])
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_resb")
+        .map_groups(bucket_topk, batch_format="pyarrow")
+    )
+    tabs = [
+        t
+        for t in parts.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    ]
+    if not tabs:
         return pa.table({})
-    tbl = pa.Table.from_pylist(parts)
+    tbl = pa.concat_tables(tabs)
     keys = np.asarray(tbl.column("_resk"))
     if len(keys) > k:
         top = np.argpartition(-keys, k - 1)[:k]

@@ -2,16 +2,19 @@
 
 - ``brute_force_topk``: the exact baseline — the query matrix is broadcast
   once via ``ray.put``; every batch does one numpy matmul and emits only its
-  local top-k (k rows per query per batch), merged on the driver. Shuffle
-  volume: zero; driver sees O(num_batches * k * q) tiny rows.
-- ``lsh_topk``: the scale path — random-hyperplane bucket signatures with
-  multi-probe (hamming radius 1); batches prune candidates to matching
-  buckets before the matmul.
+  local top-k (k rows per query per batch), reduced to the global top-k by a
+  distributed ``groupby("query_idx")`` merge so the driver only ever sees
+  nq×k rows (never O(blocks × k × queries)).
+- ``lsh_topk``: random-hyperplane bucket signatures with multi-probe
+  (hamming radius 1); batches prune candidates to matching buckets before
+  the matmul.
+- ``ivf_topk``: k-means inverted file; centroids trained on a seeded
+  ``random_sample`` (not the first blocks — storage order is not random).
 """
 
 from __future__ import annotations
 
-import heapq
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
@@ -43,8 +46,10 @@ def vecs_np(col, dtype=np.float32) -> np.ndarray:
 
 # per-worker-process cache of fetched/normalized query matrices keyed by the
 # broadcast ref: task-based stages get actor-style fetch-once behavior without
-# pinning the stage to a fixed-size pool
-_QUERY_CACHE: dict = {}
+# pinning the stage to a fixed-size pool. Bounded LRU — a long-lived worker
+# serving many top-k calls must not accumulate one matrix per call forever.
+_QUERY_CACHE: OrderedDict = OrderedDict()
+_QUERY_CACHE_MAX = 4
 
 
 def _cached_queries(queries_ref) -> np.ndarray:
@@ -56,7 +61,21 @@ def _cached_queries(queries_ref) -> np.ndarray:
         q = _QUERY_CACHE[key] = _normalize(
             np.asarray(ray.get(queries_ref), np.float32)
         )
+        while len(_QUERY_CACHE) > _QUERY_CACHE_MAX:
+            _QUERY_CACHE.popitem(last=False)
+    else:
+        _QUERY_CACHE.move_to_end(key)
     return q
+
+
+def _empty_topk(id_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "query_idx": pa.array([], pa.int32()),
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float32()),
+        }
+    )
 
 
 class _BatchTopK:
@@ -71,32 +90,53 @@ class _BatchTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "query_idx": pa.array([], pa.int32()),
-                    self.id_col: pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float32()),
-                }
-            )
+            return _empty_topk(self.id_col)
         vecs = vecs_np(batch.column(self.vec_col))
         unit = _normalize(vecs)
         sims = self.q @ unit.T  # (nq, nb)
-        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        out_q, out_id, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            for j in top[qi]:
-                out_q.append(qi)
-                out_id.append(int(ids[j]))
-                out_s.append(float(sims[qi, j]))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        nq, nb = sims.shape
+        k = min(self.k, nb)
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]  # (nq, k)
+        scores = np.take_along_axis(sims, top, axis=1)
         return pa.table(
             {
-                "query_idx": pa.array(out_q, pa.int32()),
-                self.id_col: pa.array(out_id, pa.int64()),
-                "score": pa.array(out_s, pa.float32()),
+                "query_idx": pa.array(
+                    np.repeat(np.arange(nq, dtype=np.int32), k)
+                ),
+                self.id_col: pa.array(ids[top.ravel()]),
+                "score": pa.array(scores.ravel().astype(np.float32)),
             }
         )
+
+
+def _merge_topk(partials, k: int, id_col: str) -> pa.Table:
+    """Distributed top-k reduce: partial (query_idx, id, score) rows are
+    grouped by query_idx and cut to k INSIDE the cluster, so the driver sees
+    only nq×k rows. (The previous driver-side heap was O(blocks × k × nq)
+    through one Python loop — fine for one query, pathological for a
+    1000-query batch over a 10^6-block corpus.) Ties prefer the smaller id,
+    matching the SQL oracle's ORDER BY score DESC, id ASC."""
+
+    def topk_group(g: pa.Table) -> pa.Table:
+        return g.sort_by(
+            [("score", "descending"), (id_col, "ascending")]
+        ).slice(0, k)
+
+    merged = partials.groupby("query_idx").map_groups(
+        topk_group, batch_format="pyarrow"
+    )
+    tabs = [
+        t
+        for t in merged.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    ]
+    if not tabs:
+        return _empty_topk(id_col)
+    out = pa.concat_tables(tabs)
+    return out.sort_by(
+        [("query_idx", "ascending"), ("score", "descending"), (id_col, "ascending")]
+    )
 
 
 def brute_force_topk(
@@ -134,30 +174,7 @@ def brute_force_topk(
             topk_batch, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    # merge tiny per-batch top-k lists on the driver with a heap per query
-    heaps: dict[int, list] = {}
-    for row in partials.take_all():
-        h = heaps.setdefault(row["query_idx"], [])
-        # heap orders by (score, -id) so ties prefer the smaller id
-        item = (row["score"], -row[id_col])
-        if len(h) < k:
-            heapq.heappush(h, item)
-        else:
-            heapq.heappushpop(h, item)
-    out_q, out_id, out_s = [], [], []
-    for qi in sorted(heaps):
-        best = sorted(heaps[qi], key=lambda x: (-x[0], -x[1]))
-        for s, neg_id in best:
-            out_q.append(qi)
-            out_id.append(-neg_id)
-            out_s.append(s)
-    return pa.table(
-        {
-            "query_idx": pa.array(out_q, pa.int32()),
-            id_col: pa.array(out_id, pa.int64()),
-            "score": pa.array(out_s, pa.float32()),
-        }
-    )
+    return _merge_topk(partials, k, id_col)
 
 
 def lsh_topk(
@@ -210,28 +227,7 @@ def lsh_topk(
         return inner(t.filter(pa.array(mask)))
 
     partials = ds.map_batches(pruned_batch, batch_format="pyarrow", zero_copy_batch=True)
-    heaps: dict[int, list] = {}
-    for row in partials.take_all():
-        h = heaps.setdefault(row["query_idx"], [])
-        item = (row["score"], -row[id_col])
-        if len(h) < k:
-            heapq.heappush(h, item)
-        else:
-            heapq.heappushpop(h, item)
-    out_q, out_id, out_s = [], [], []
-    for qi in sorted(heaps):
-        best = sorted(heaps[qi], key=lambda x: (-x[0], -x[1]))
-        for s, neg_id in best:
-            out_q.append(qi)
-            out_id.append(-neg_id)
-            out_s.append(s)
-    return pa.table(
-        {
-            "query_idx": pa.array(out_q, pa.int32()),
-            id_col: pa.array(out_id, pa.int64()),
-            "score": pa.array(out_s, pa.float32()),
-        }
-    )
+    return _merge_topk(partials, k, id_col)
 
 
 def ivf_topk(
@@ -256,8 +252,18 @@ def ivf_topk(
 
     queries = np.asarray(queries, np.float32)
 
-    # --- train centroids on a sample (driver-side; bounded by train_size) ---
-    sample = ds.limit(train_size).take_all()
+    # --- train centroids on a seeded RANDOM sample (driver-side; bounded by
+    # train_size). ds.limit() would take the FIRST blocks in storage order —
+    # on a partitioned/clustered corpus that biases centroids to one shard.
+    n = ds.count()
+    frac = min(1.0, (train_size * 1.25) / max(n, 1))
+    sample = (
+        ds.random_sample(frac, seed=seed).limit(train_size).take_all()
+        if frac < 1.0
+        else ds.take_all()
+    )
+    if not sample:
+        sample = ds.limit(train_size).take_all()
     x = _normalize(np.stack([np.asarray(r[vec_col], np.float32) for r in sample]))
     rng = np.random.RandomState(seed)
     nc = min(num_clusters, len(x))
@@ -268,8 +274,8 @@ def ivf_topk(
             m = assign == c
             if m.any():
                 v = x[m].mean(axis=0)
-                n = np.linalg.norm(v)
-                cent[c] = v / n if n else cent[c]
+                n2 = np.linalg.norm(v)
+                cent[c] = v / n2 if n2 else cent[c]
     qref = ray.put(queries)
 
     q_unit = _normalize(queries)
@@ -278,7 +284,7 @@ def ivf_topk(
 
     # task-based stage: centroids (small) + probe set close over the function;
     # the query matrix rides the broadcast-ref cache. Tasks scale with the
-    # cluster instead of a fixed 4-actor pool.
+    # cluster instead of a fixed-size actor pool.
     def ivf_batch(t: pa.Table) -> pa.Table:
         inner = _BatchTopK(qref, k, vec_col, id_col)
         if t.num_rows == 0:
@@ -289,25 +295,4 @@ def ivf_topk(
         return inner(t.filter(pa.array(mask)))
 
     partials = ds.map_batches(ivf_batch, batch_format="pyarrow", zero_copy_batch=True)
-    heaps: dict[int, list] = {}
-    for row in partials.take_all():
-        h = heaps.setdefault(row["query_idx"], [])
-        item = (row["score"], -row[id_col])
-        if len(h) < k:
-            heapq.heappush(h, item)
-        else:
-            heapq.heappushpop(h, item)
-    out_q, out_id, out_s = [], [], []
-    for qi in sorted(heaps):
-        best = sorted(heaps[qi], key=lambda x: (-x[0], -x[1]))
-        for s, neg_id in best:
-            out_q.append(qi)
-            out_id.append(-neg_id)
-            out_s.append(s)
-    return pa.table(
-        {
-            "query_idx": pa.array(out_q, pa.int32()),
-            id_col: pa.array(out_id, pa.int64()),
-            "score": pa.array(out_s, pa.float32()),
-        }
-    )
+    return _merge_topk(partials, k, id_col)

@@ -133,7 +133,8 @@ class RecipeResult:
             # output, return the ok slice for the main write_parquet sink
             if "_wr_code" not in t.column_names:
                 return t
-            import uuid
+            import hashlib
+            import io
 
             import pyarrow.parquet as pq
 
@@ -142,8 +143,15 @@ class RecipeResult:
                 [c for c in ERROR_COLUMNS if c in t.column_names]
             )
             if errs.num_rows:
+                # deterministic content-derived filename: a Ray task retry /
+                # speculative re-execution of the same block OVERWRITES its
+                # own file instead of duplicating error rows
+                sink = io.BytesIO()
+                with pa.ipc.new_stream(sink, errs.schema) as w:
+                    w.write_table(errs)
+                digest = hashlib.blake2b(sink.getvalue(), digest_size=12).hexdigest()
                 pq.write_table(
-                    errs, os.path.join(err_dir, f"errors-{uuid.uuid4().hex}.parquet")
+                    errs, os.path.join(err_dir, f"errors-{digest}.parquet")
                 )
             return t.filter(pc.invert(mask)).drop_columns(
                 [c for c in ERROR_COLUMNS if c in t.column_names]
