@@ -138,20 +138,25 @@ class MinHasher:
 
 
 def _group_all_pairs(df: pd.DataFrame, key_cols: list, id_col: str,
-                     cap: int = 64) -> tuple:
+                     cap: int = 256) -> tuple:
     """All candidate pairs (a<b) within each key group, vectorized by group
     SIZE class (one triu expansion per distinct size — no per-row loop).
-    Groups larger than ``cap`` are overwhelmingly near-identical clusters at
-    dedup thresholds, so they fall back to star+chain edges (2g-3 instead of
-    g²/2) which any verifier that accepts the true duplicates reconnects."""
+    Returns ``(a, b, fb)`` where ``fb=1`` marks fallback STAR edges from
+    groups larger than ``cap``: those groups fall back to star+chain edges
+    (2g-3 instead of g²/2), which silently disconnects true pairs whenever a
+    star/chain edge fails downstream verification — so callers whose
+    verification is remote use the fb flag to RE-PAIR failed star members
+    (one repair round), and every activation is counted in
+    ``FALLBACK_METRICS`` and logged so recall loss is observable."""
     if not len(df):
-        return np.empty(0, np.int64), np.empty(0, np.int64)
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.int8)
     df = df.sort_values(key_cols + [id_col], kind="mergesort")
     gid = df.groupby(key_cols, sort=False).ngroup().to_numpy()
     ids = df[id_col].to_numpy()
     counts = np.bincount(gid)
     offsets = np.concatenate([[0], np.cumsum(counts)])
-    out_a, out_b = [], []
+    out_a, out_b, out_fb = [], [], []
     sizes = np.unique(counts)
     for s in sizes[(sizes >= 2) & (sizes <= cap)]:
         gsel = np.nonzero(counts == s)[0]
@@ -160,27 +165,85 @@ def _group_all_pairs(df: pd.DataFrame, key_cols: list, id_col: str,
         iu, ju = np.triu_indices(s, k=1)
         out_a.append(m[:, iu].ravel())
         out_b.append(m[:, ju].ravel())
-    for gi in np.nonzero(counts > cap)[0]:
+        out_fb.append(np.zeros(len(gsel) * len(iu), np.int8))
+    oversized = np.nonzero(counts > cap)[0]
+    if len(oversized):
+        import logging
+
+        FALLBACK_METRICS["oversized_groups"] += len(oversized)
+        FALLBACK_METRICS["max_group_size"] = max(
+            FALLBACK_METRICS["max_group_size"], int(counts[oversized].max())
+        )
+        logging.getLogger(__name__).warning(
+            "dedup pairing: %d group(s) exceed the all-pairs cap (%d); "
+            "largest=%d — star+chain fallback engaged (repair round will "
+            "re-pair members whose star edge fails verification)",
+            len(oversized), cap, int(counts[oversized].max()),
+        )
+    for gi in oversized:
         members = ids[offsets[gi] : offsets[gi + 1]]
+        # star edges (hub = min id) carry fb=1 so failed ones can be re-paired
         out_a.append(np.full(len(members) - 1, members[0]))
         out_b.append(members[1:])
+        out_fb.append(np.ones(len(members) - 1, np.int8))
+        # chain edges are ordinary candidates (fb=0)
         out_a.append(members[1:-1])
         out_b.append(members[2:])
+        out_fb.append(np.zeros(max(len(members) - 2, 0), np.int8))
     if not out_a:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    return np.concatenate(out_a), np.concatenate(out_b)
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.int8)
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_fb)
+
+
+# per-process observability counters for the oversized-group fallback (worker
+# logs surface activations; tests read them directly)
+FALLBACK_METRICS = {"oversized_groups": 0, "max_group_size": 0}
+
+
+def _repair_pairs(hubs: np.ndarray, members: np.ndarray, cap: int = 256) -> tuple:
+    """One repair round for fallback-star edges that failed verification:
+    for each hub, all-pairs among its failed members in chunks of ``cap``
+    (bounded edges), plus all-pairs among the chunk leads so chunks stay
+    connected through their leads. Returns (a, b) candidate arrays."""
+    out_a, out_b = [], []
+    df = pd.DataFrame({"h": hubs, "m": members})
+    for _, grp in df.groupby("h", sort=False):
+        F = np.unique(grp["m"].to_numpy())
+        if len(F) < 2:
+            continue
+        leads = []
+        for start in range(0, len(F), cap):
+            chunk = F[start : start + cap]
+            leads.append(chunk[0])
+            if len(chunk) >= 2:
+                iu, ju = np.triu_indices(len(chunk), k=1)
+                out_a.append(chunk[iu])
+                out_b.append(chunk[ju])
+        if len(leads) >= 2:
+            la = np.asarray(leads[:cap])
+            iu, ju = np.triu_indices(len(la), k=1)
+            out_a.append(la[iu])
+            out_b.append(la[ju])
+    if not out_a:
+        z = np.empty(0, np.int64)
+        return z, z
+    return np.concatenate(out_a).astype(np.int64), np.concatenate(out_b).astype(np.int64)
 
 
 def _dedupe_pairs_df(df: pd.DataFrame) -> pd.DataFrame:
-    """Deduplicate an (a, b[, ch]) edge frame; a pair flagged as a chain edge
-    (ch=1: guaranteed-duplicate, skips verification) in ANY bucket keeps the
+    """Deduplicate an (a, b[, ch][, fb]) edge frame; a pair flagged as a chain
+    edge (ch=1: guaranteed-duplicate, skips verification) or as a fallback
+    star edge (fb=1: re-paired if verification fails) in ANY bucket keeps the
     flag."""
-    if "ch" in df.columns:
-        # keep the max ch per pair WITHOUT a groupby: stable-sort chain rows
-        # first, then hash-based drop_duplicates keeps them (measured several
-        # times faster than groupby(["a","b"]).max on millions of edges)
+    flags = [c for c in ("ch", "fb") if c in df.columns]
+    if flags:
+        # keep the max flag per pair WITHOUT a groupby: stable-sort flagged
+        # rows first, then hash-based drop_duplicates keeps them (measured
+        # several times faster than groupby(["a","b"]).max on millions of
+        # edges)
         return (
-            df.sort_values("ch", ascending=False, kind="stable")
+            df.sort_values(flags, ascending=False, kind="stable")
             .drop_duplicates(["a", "b"], ignore_index=True)
         )
     return df.drop_duplicates(ignore_index=True)
@@ -218,8 +281,9 @@ def _distinct_pairs(pairs):
         df = _dedupe_pairs_df(g.drop_columns(["_pb"]).to_pandas())
         cols = {"a": pa.array(df["a"].to_numpy(np.int64)),
                 "b": pa.array(df["b"].to_numpy(np.int64))}
-        if "ch" in df.columns:
-            cols["ch"] = pa.array(df["ch"].to_numpy(np.int8))
+        for fl in ("ch", "fb"):
+            if fl in df.columns:
+                cols[fl] = pa.array(df[fl].to_numpy(np.int8))
         return pa.table(cols)
 
     return (
@@ -286,6 +350,7 @@ def minhash_lsh_dedup(
     exact_margin: float = 0.12,
     distributed: bool = False,
     max_driver_edges: int = 4_000_000,
+    pair_cap: int = 256,
 ):
     """MinHash+LSH near-dup removal: shingle→minhash→band→bucket groupby→
     candidate pairs→verify Jaccard→connected components→keep min-id per
@@ -391,7 +456,7 @@ def minhash_lsh_dedup(
             }
         )
 
-    def _digest_pairs(df: pd.DataFrame):
+    def _digest_pairs(df: pd.DataFrame):  # noqa: D401 — closes over pair_cap
         """Candidate pairs for one coarse bucket with shingle-set-digest
         reduction. Within a (band,key) LSH bucket:
         - identical-digest members (identical shingle SETS → true Jaccard
@@ -423,14 +488,18 @@ def minhash_lsh_dedup(
         star_b = ids[member_rows]
         # representatives: first row of each (band,key,dig) group
         reps = df[~same_dig]
-        rep_a, rep_b = _group_all_pairs(reps, ["band", "key"], id_col)
+        rep_a, rep_b, rep_fb = _group_all_pairs(reps, ["band", "key"], id_col,
+                                                cap=pair_cap)
         # ch=1 marks same-digest edges: identical shingle sets ⇒ true
-        # Jaccard 1.0 ⇒ accepted at any threshold WITHOUT verification
+        # Jaccard 1.0 ⇒ accepted at any threshold WITHOUT verification;
+        # fb=1 marks fallback star edges from oversized rep groups — if one
+        # fails verification its members are RE-PAIRED in a repair round
         ch = np.concatenate(
             [np.ones(len(star_a), np.int8), np.zeros(len(rep_a), np.int8)]
         )
+        fb = np.concatenate([np.zeros(len(star_a), np.int8), rep_fb])
         return (np.concatenate([star_a, rep_a]),
-                np.concatenate([star_b, rep_b]), ch)
+                np.concatenate([star_b, rep_b]), ch, fb)
 
     def bucket_edges(g: pa.Table) -> pa.Table:
         # one coarse bucket holds MANY (band,key) LSH buckets → vectorized
@@ -442,23 +511,26 @@ def minhash_lsh_dedup(
         # the signature-digest reduction collapsing identical-signature
         # members to chains + one representative.
         df = g.to_pandas()
-        a_np, b_np, ch = _digest_pairs(df)
-        out = _dedupe_pairs_df(pd.DataFrame({"a": a_np, "b": b_np, "ch": ch}))
+        a_np, b_np, ch, fb = _digest_pairs(df)
+        out = _dedupe_pairs_df(
+            pd.DataFrame({"a": a_np, "b": b_np, "ch": ch, "fb": fb})
+        )
         return pa.table({"a": pa.array(out["a"]), "b": pa.array(out["b"]),
-                         "ch": pa.array(out["ch"].astype(np.int8))})
+                         "ch": pa.array(out["ch"].astype(np.int8)),
+                         "fb": pa.array(out["fb"].astype(np.int8))})
 
     banded = signed.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
     pairs = banded.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
 
     if distributed:
         return _distributed_dedup_finish(
-            ds, signed, pairs, id_col, num_perm, jaccard_threshold
+            ds, signed, pairs, id_col, num_perm, jaccard_threshold, pair_cap
         )
 
     pairs, edges = _edges_or_distributed(pairs, max_driver_edges)
     if edges is None:  # edge set too large for driver union-find — auto-switch
         return _distributed_dedup_finish(
-            ds, signed, pairs, id_col, num_perm, jaccard_threshold
+            ds, signed, pairs, id_col, num_perm, jaccard_threshold, pair_cap
         )
 
     if len(edges):
@@ -467,6 +539,11 @@ def minhash_lsh_dedup(
         chain_mask = (
             edges["ch"].to_numpy().astype(bool)
             if "ch" in edges.columns
+            else np.zeros(len(a_ids), bool)
+        )
+        fb_mask = (
+            edges["fb"].to_numpy().astype(bool)
+            if "fb" in edges.columns
             else np.zeros(len(a_ids), bool)
         )
         cand = np.unique(np.concatenate([a_ids, b_ids]))
@@ -490,22 +567,31 @@ def minhash_lsh_dedup(
         )
         order = np.argsort(sig_ids)
         sorted_ids = sig_ids[order]
-        ia = order[np.searchsorted(sorted_ids, a_ids)]
-        ib = order[np.searchsorted(sorted_ids, b_ids)]
-        # unbiased Jaccard estimate, CHUNKED: gathering two (n_edges × perm)
-        # matrices at once churns GBs of fresh allocations (measured 40s vs
-        # 1.3s chunked at 2M edges on this box) — process in bounded slices
-        est = np.empty(len(ia))
-        _CH = 1 << 17
-        for s in range(0, len(ia), _CH):
-            sl = slice(s, min(s + _CH, len(ia)))
-            est[sl] = (mat[ia[sl]] == mat[ib[sl]]).mean(axis=1)
 
-        accept = est >= jaccard_threshold + exact_margin
-        accept |= chain_mask  # same shingle set ⇒ true Jaccard 1.0
-        borderline = (~accept) & (est >= jaccard_threshold - exact_margin)
+        def _verify(aa: np.ndarray, bb: np.ndarray, chm: np.ndarray) -> np.ndarray:
+            """Accept mask for candidate edges (aa, bb): vectorized MinHash
+            estimate, then TRUE shingle-set Jaccard for the borderline band.
+            Used for the main edge set AND the repair round (whose endpoints
+            all appeared in failed edges, so their signatures are already in
+            ``mat``)."""
+            ia = order[np.searchsorted(sorted_ids, aa)]
+            ib = order[np.searchsorted(sorted_ids, bb)]
+            # unbiased Jaccard estimate, CHUNKED: gathering two
+            # (n_edges × perm) matrices at once churns GBs of fresh
+            # allocations (measured 40s vs 1.3s chunked at 2M edges on this
+            # box) — process in bounded slices
+            est = np.empty(len(ia))
+            _CH = 1 << 17
+            for s in range(0, len(ia), _CH):
+                sl = slice(s, min(s + _CH, len(ia)))
+                est[sl] = (mat[ia[sl]] == mat[ib[sl]]).mean(axis=1)
 
-        if borderline.any():
+            accept = est >= jaccard_threshold + exact_margin
+            accept |= chm  # same shingle set ⇒ true Jaccard 1.0
+            borderline = (~accept) & (est >= jaccard_threshold - exact_margin)
+
+            if not borderline.any():
+                return accept
             # exact shingle-set Jaccard for the borderline edges: fetch only
             # those texts, compute sets ONCE per doc, then verify edge
             # BATCHES in parallel against a ray.put broadcast of the sorted
@@ -516,7 +602,7 @@ def minhash_lsh_dedup(
             import ray.data as _rd
 
             bl = np.unique(
-                np.concatenate([a_ids[borderline], b_ids[borderline]])
+                np.concatenate([aa[borderline], bb[borderline]])
             )
 
             def collect_texts(t: pa.Table) -> pa.Table:
@@ -563,14 +649,14 @@ def minhash_lsh_dedup(
 
             if len(bl_idx) < 20_000:
                 # small borderline set: one driver pass beats a Ray job
-                ok_mask = _true_jaccard_ok(a_ids[bl_idx], b_ids[bl_idx], shingles)
+                ok_mask = _true_jaccard_ok(aa[bl_idx], bb[bl_idx], shingles)
                 accept[bl_idx[ok_mask]] = True
             else:
                 # large borderline set (dup-heavy corpora): verify edge
                 # batches in parallel against the broadcast shingle arrays
                 sh_ref = _ray.put(shingles)
                 edge_tab = pa.table(
-                    {"a": pa.array(a_ids[bl_idx]), "b": pa.array(b_ids[bl_idx]),
+                    {"a": pa.array(aa[bl_idx]), "b": pa.array(bb[bl_idx]),
                      "i": pa.array(bl_idx.astype(np.int64))}
                 )
 
@@ -594,6 +680,22 @@ def minhash_lsh_dedup(
                     verdicts.column("ok").to_numpy(zero_copy_only=False)
                 ]
                 accept[ok_idx] = True
+            return accept
+
+        accept = _verify(a_ids, b_ids, chain_mask)
+        # repair round: a fallback star edge (fb=1, from an oversized LSH
+        # group) that FAILED verification would silently disconnect true
+        # pairs among its members — re-pair those members all-vs-all
+        # (chunk-bounded) and verify the repair edges the same way
+        fb_fail = fb_mask & ~accept
+        if fb_fail.any():
+            rep_a, rep_b = _repair_pairs(a_ids[fb_fail], b_ids[fb_fail],
+                                         cap=pair_cap)
+            if len(rep_a):
+                rep_acc = _verify(rep_a, rep_b, np.zeros(len(rep_a), bool))
+                a_ids = np.concatenate([a_ids[accept], rep_a[rep_acc]])
+                b_ids = np.concatenate([b_ids[accept], rep_b[rep_acc]])
+                accept = np.ones(len(a_ids), bool)
 
         uf = _UnionFind()
         for a, b in zip(a_ids[accept], b_ids[accept]):
@@ -683,7 +785,8 @@ def simhash64_batch(texts) -> np.ndarray:
 
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
-                  distributed: bool = False, max_driver_edges: int = 4_000_000):
+                  distributed: bool = False, max_driver_edges: int = 4_000_000,
+                  pair_cap: int = 256):
     """SimHash near-dup: 64-bit signature, 4×16-bit band blocking (any pair
     within hamming ≤3 shares at least one exact 16-bit band), verify hamming
     within buckets, drop non-representatives. ``distributed=True`` clusters
@@ -716,20 +819,40 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
     def bucket_edges(g: pa.Table) -> pa.Table:
         # all pairs within each (band,key) bucket (star-to-first would miss
         # true pairs whenever the first member fails the hamming check), then
-        # one vectorized hamming verify over the whole pair list
+        # one vectorized hamming verify over the whole pair list. Verification
+        # is LOCAL here, so the oversized-group star fallback repairs in
+        # place: members whose fb star edge fails the hamming check are
+        # re-paired all-vs-all (chunk-bounded) and re-verified immediately.
         df = g.to_pandas()
-        a_np, b_np = _group_all_pairs(df, ["band", "key"], id_col)
+        a_np, b_np, fb = _group_all_pairs(df, ["band", "key"], id_col,
+                                          cap=pair_cap)
         if not len(a_np):
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         sig_map = pd.Series(
-            (df["sig"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64),
+            # undo the order-preserving MSB flip with an integer XOR — adding
+            # 2**63 to an int64 array silently promotes to float64 on numpy
+            # 1.x and rounds away the low ~10 signature bits
+            df["sig"].to_numpy().astype(np.int64).view(np.uint64)
+            ^ np.uint64(1 << 63),
             index=df[id_col].to_numpy(),
         )
         sig_map = sig_map[~sig_map.index.duplicated()]
-        xor = sig_map.loc[a_np].to_numpy() ^ sig_map.loc[b_np].to_numpy()
-        bits = np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8), axis=1)
-        ham = bits.sum(axis=1)
-        keep = ham <= max_hamming
+
+        def _ham_keep(aa: np.ndarray, bb: np.ndarray) -> np.ndarray:
+            xor = sig_map.loc[aa].to_numpy() ^ sig_map.loc[bb].to_numpy()
+            bits = np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8), axis=1)
+            return bits.sum(axis=1) <= max_hamming
+
+        keep = _ham_keep(a_np, b_np)
+        fb_fail = fb.astype(bool) & ~keep
+        if fb_fail.any():
+            rep_a, rep_b = _repair_pairs(a_np[fb_fail], b_np[fb_fail],
+                                         cap=pair_cap)
+            if len(rep_a):
+                rep_keep = _ham_keep(rep_a, rep_b)
+                a_np = np.concatenate([a_np[keep], rep_a[rep_keep]])
+                b_np = np.concatenate([b_np[keep], rep_b[rep_keep]])
+                keep = np.ones(len(a_np), bool)
         return pa.table({"a": pa.array(a_np[keep], pa.int64()),
                          "b": pa.array(b_np[keep], pa.int64())})
 
@@ -895,7 +1018,8 @@ def ngram_jaccard_dedup(
     )
 
 
-def _distributed_dedup_finish(ds, signed, pairs, id_col, num_perm, jaccard_threshold):
+def _distributed_dedup_finish(ds, signed, pairs, id_col, num_perm,
+                              jaccard_threshold, pair_cap: int = 256):
     """No-driver-state tail of minhash_lsh_dedup: chain edges (ch=1: identical
     shingle sets, guaranteed duplicates) skip verification entirely — on a
     dup-heavy corpus that is the vast majority of edges; only the
@@ -912,17 +1036,24 @@ def _distributed_dedup_finish(ds, signed, pairs, id_col, num_perm, jaccard_thres
     sig_bytes = num_perm * 8
 
     def split_chain(t: pa.Table, want_chain: bool) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "fb": pa.array([], pa.int8())})
         if t.num_rows == 0 or "a" not in t.column_names:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
+            return empty if not want_chain else pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        if "fb" not in t.column_names:
+            t = t.append_column("fb", pa.array(np.zeros(t.num_rows, np.int8)))
         if "ch" not in t.column_names:
             # unflagged edge stream: everything needs verification
-            return t.select(["a", "b"]) if not want_chain else pa.table(
+            return t.select(["a", "b", "fb"]) if not want_chain else pa.table(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
             )
         ch = t.column("ch").to_numpy(zero_copy_only=False).astype(bool)
-        mask = ch if want_chain else ~ch
-        return t.filter(pa.array(mask)).select(["a", "b"])
+        if want_chain:
+            return t.filter(pa.array(ch)).select(["a", "b"])
+        return t.filter(pa.array(~ch)).select(["a", "b", "fb"])
 
     import functools
 
@@ -935,13 +1066,17 @@ def _distributed_dedup_finish(ds, signed, pairs, id_col, num_perm, jaccard_thres
         batch_format="pyarrow", zero_copy_batch=True,
     )
 
-    def _frame(k, other, sig, side):
+    def _frame(k, other, sig, side, fb=None):
+        n = len(k)
+        if fb is None:
+            fb = np.zeros(n, np.int8)
         return pa.table(
             {
                 "k": pa.array(np.asarray(k, np.int64), pa.int64()),
                 "other": pa.array(np.asarray(other, np.int64), pa.int64()),
                 "sig": pa.array(list(sig), pa.binary()),
-                "side": pa.array(np.full(len(k), side, np.int8)),
+                "side": pa.array(np.full(n, side, np.int8)),
+                "fb": pa.array(np.asarray(fb, np.int8)),
                 "_b": pa.array((np.asarray(k, np.int64) % B).astype(np.int32)),
             }
         )
@@ -951,7 +1086,12 @@ def _distributed_dedup_finish(ds, signed, pairs, id_col, num_perm, jaccard_thres
             return _frame([], [], [], 0)
         a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        return _frame(a, b, [b""] * len(a), 0)
+        fb = (
+            t.column("fb").to_numpy(zero_copy_only=False).astype(np.int8)
+            if "fb" in t.column_names
+            else np.zeros(len(a), np.int8)
+        )
+        return _frame(a, b, [b""] * len(a), 0, fb)
 
     def sig_rows(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or id_col not in t.column_names:
@@ -978,31 +1118,36 @@ def _distributed_dedup_finish(ds, signed, pairs, id_col, num_perm, jaccard_thres
         ok = looked.notna()
         e = e[ok]
         looked = looked[ok]
+        fb = e["fb"].to_numpy(np.int8)
         if out_key_is_other:
             # re-key on the other endpoint; carry this endpoint + its sig by
             # CONCATENATING it onto any sig already present (stage-2 edges
             # then hold sig_a + sig_b back to back)
             new_sig = (e["sig"] + looked).to_numpy()
             return _frame(e["other"].to_numpy(np.int64), e["k"].to_numpy(np.int64),
-                          new_sig, 0)
+                          new_sig, 0, fb)
         return _frame(e["k"].to_numpy(np.int64), e["other"].to_numpy(np.int64),
-                      (e["sig"] + looked).to_numpy(), 0)
+                      (e["sig"] + looked).to_numpy(), 0, fb)
 
-    # stage 1: key = a → append sig_a, re-key on b
-    st1 = (
-        pairs.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .union(signed.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True))
-        .groupby("_b")
-        .map_groups(lambda g: attach(g, out_key_is_other=True), batch_format="pyarrow")
-    )
-    # stage 2: key = b → append sig_b
-    st2 = (
-        st1.union(signed.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True))
-        .groupby("_b")
-        .map_groups(lambda g: attach(g, out_key_is_other=False), batch_format="pyarrow")
-    )
+    def attach_sigs(edge_ds):
+        """Two bucketed-groupby stages: append sig_a (re-key on b), then
+        sig_b — edges come out carrying both signatures back to back."""
+        st1 = (
+            edge_ds.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True)
+            .union(signed.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True))
+            .groupby("_b")
+            .map_groups(lambda g: attach(g, out_key_is_other=True), batch_format="pyarrow")
+        )
+        return (
+            st1.union(signed.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True))
+            .groupby("_b")
+            .map_groups(lambda g: attach(g, out_key_is_other=False), batch_format="pyarrow")
+        )
 
-    def est_filter(t: pa.Table) -> pa.Table:
+    def est_split(t: pa.Table, want_failed_fb: bool) -> pa.Table:
+        """MinHash-estimate verdicts over sig-carrying edges: emit either the
+        ACCEPTED edges or the REJECTED fallback-star edges (fb=1) whose
+        members need the repair round."""
         if t.num_rows == 0 or "k" not in t.column_names:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         b_ids = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1011,15 +1156,52 @@ def _distributed_dedup_finish(ds, signed, pairs, id_col, num_perm, jaccard_thres
         both = np.stack([np.frombuffer(x, np.int64) for x in sigs])
         sa, sb = both[:, :num_perm], both[:, num_perm:]
         est = (sa == sb).mean(axis=1)
-        keep = est >= jaccard_threshold
+        if want_failed_fb:
+            fbm = t.column("fb").to_numpy(zero_copy_only=False).astype(bool)
+            keep = fbm & (est < jaccard_threshold)
+        else:
+            keep = est >= jaccard_threshold
         return pa.table(
             {"a": pa.array(a_ids[keep], pa.int64()), "b": pa.array(b_ids[keep], pa.int64())}
         )
 
-    verified = (
-        st2.map_batches(est_filter, batch_format="pyarrow", zero_copy_batch=True)
-        .union(chain_edges)
-        .materialize()
-    )
-    labels = connected_components(verified)
+    import functools as _ft
+
+    st2 = attach_sigs(pairs).materialize()
+    verified = st2.map_batches(
+        _ft.partial(est_split, want_failed_fb=False),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).union(chain_edges)
+
+    # repair round: fallback star edges (fb=1, oversized LSH groups) that
+    # failed the estimate would silently disconnect true pairs among their
+    # members — re-pair failed members per hub (chunk-bounded all-pairs; edge
+    # volume ≤ cap × |failed|, and failures are rare by construction so the
+    # driver only ever sees the failed STARS, never the corpus)
+    failed_fb = st2.map_batches(
+        _ft.partial(est_split, want_failed_fb=True),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    if failed_fb.count() > 0:
+        ft = pa.concat_tables(
+            failed_fb.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        rep_a, rep_b = _repair_pairs(
+            ft.column("a").to_numpy(zero_copy_only=False),
+            ft.column("b").to_numpy(zero_copy_only=False),
+            cap=pair_cap,
+        )
+        if len(rep_a):
+            repair_ds = rd.from_arrow(
+                pa.table({"a": pa.array(rep_a, pa.int64()),
+                          "b": pa.array(rep_b, pa.int64())})
+            )
+            verified = verified.union(
+                attach_sigs(repair_ds).map_batches(
+                    _ft.partial(est_split, want_failed_fb=False),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                )
+            )
+
+    labels = connected_components(verified.materialize())
     return drop_non_representatives(ds, labels, id_col=id_col)
