@@ -424,6 +424,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.iter_batches(batch_size=None, batch_format="pyarrow")
         )
 
+    def multimodal_audio(sf_dir):
+        # REAL decode: deterministic constant-amplitude WAVs authored and
+        # decoded by the stdlib wave module — rms (= amplitude/32768, exact
+        # for a constant signal) and duration have closed forms, so the
+        # whole audio stage is oracle-checkable end to end
+        import ray.data as rd
+
+        from wrangler_ray.ops.multimodal import audio_pipeline, make_real_wav_table
+
+        t = make_real_wav_table(n=256)
+        out = audio_pipeline(rd.from_arrow(t), batch_size=32, fake=False)
+        out = out.drop_columns(["media", "media_type"])
+        return pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+
     def cdc_replay_events(sf_dir):
         return _run_cdc(sf_dir)
 
@@ -907,6 +923,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pa.field("n_regionkey", pa.int32()),
         ]))
 
+    def dedup_simhash_invariant(sf_dir):
+        # corpus-independent invariant for the one dedup method with no
+        # oracle: rewrite every document's text to one of 8 FIXED base texts
+        # keyed by doc_id % 8 (pairwise simhash hamming 22, checked below —
+        # far above max_hamming=3), so the dedup must keep exactly the min
+        # doc_id of each residue class — pure SQL. pair_cap=8 forces the
+        # oversized-group star+chain fallback through the driver-certified
+        # path as well.
+        import ray.data as rd
+
+        from wrangler_ray.ops.dedup import simhash64_batch, simhash_dedup
+
+        bases = [
+            "the freight train rolled across the rusted bridge long before "
+            "dawn carrying coal and timber toward the northern smelters",
+            "quantum annealing hardware minimizes an ising objective by "
+            "tunneling through energy barriers rather than climbing over them",
+            "her grandmother kept a recipe for plum preserves written in "
+            "faded pencil inside the battered tin on the pantry shelf",
+            "midfielders pressed high all season forcing turnovers that "
+            "turned into quick counterattacks and late winning goals",
+            "volcanic ash clouds grounded flights across the archipelago "
+            "while geologists watched the caldera swell by centimeters",
+            "the orchestra tuned to a single oboe note before the conductor "
+            "raised his baton over the hushed concert hall",
+            "container orchestration schedules replicated pods across nodes "
+            "rebalancing workloads when health probes begin to fail",
+            "desert tortoises spend most of the year in burrows emerging "
+            "after rare rains to graze on ephemeral wildflowers",
+        ]
+        sigs = simhash64_batch(bases)
+        assert all(
+            bin(int(sigs[i]) ^ int(sigs[j])).count("1") > 6
+            for i in range(8) for j in range(i + 1, 8)
+        ), "base texts drifted into simhash range — invariant unsound"
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).column("doc_id").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([bases[int(i) % 8] for i in ids]),
+            }
+        )
+        out = simhash_dedup(rd.from_arrow(t), max_hamming=3, pair_cap=8)
+        res = pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        return res.select(["doc_id"])
+
     def sample_reservoir_invariant(sf_dir):
         # the sample itself is random; its membership + cardinality are not:
         # exactly k distinct rows, all drawn from the corpus
@@ -953,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_lsh_topk": similarity_lsh_topk,
         "text_analysis_docs": text_analysis_docs,
         "multimodal_images": multimodal_images,
+        "multimodal_audio": multimodal_audio,
         "cdc_replay_events": cdc_replay_events,
         "cdc_inflight_recipe": cdc_inflight_recipe,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -981,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parser_mega3_events": parser_mega3_events,
         "validate_standard_events": validate_standard_events,
         "dedup_lsh_exact_invariant": dedup_lsh_exact_invariant,
+        "dedup_simhash_invariant": dedup_simhash_invariant,
         "sample_reservoir_invariant": sample_reservoir_invariant,
         "dedup_embedding_invariant": dedup_embedding_invariant,
         "text_analysis_sql_invariant": text_analysis_sql_invariant,
@@ -1385,6 +1453,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY k) reps
               ON d.doc_id = reps.doc_id
         """,
+        "dedup_simhash_invariant": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY doc_id % 8 ORDER BY doc_id
+        """,
         "sample_reservoir_invariant": """
             SELECT 100 AS n_sampled, 100 AS n_distinct, 100 AS n_member
         """,
@@ -1469,6 +1541,15 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS decoded_ok,
                    CAST(224 AS INTEGER) AS resized_w,
                    CAST(224 AS INTEGER) AS resized_h
+            FROM range(256) t(i)
+        """,
+        "multimodal_audio": """
+            SELECT i AS id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(1600 + 37 * i AS BIGINT) AS n_samples,
+                   CAST((i % 100 + 1) * 250 / 32768.0 AS FLOAT) AS rms,
+                   CAST((1600 + 37 * i) / 8000.0 AS FLOAT) AS duration_s,
+                   TRUE AS audio_ok
             FROM range(256) t(i)
         """,
         # rows-only (non-SQL-expressible): dedup_minhash_docs,

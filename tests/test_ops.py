@@ -279,3 +279,84 @@ def test_dedup_auto_switch_crosses_driver_cap(docs_ds):
         simhash_dedup(docs_ds, max_hamming=3, max_driver_edges=0).to_pandas()["doc_id"]
     )
     assert sh_auto == sh_driver
+
+
+def test_brute_force_topk_many_queries(ray_session):
+    """64-query batch through the distributed groupby('query_idx') merge —
+    every query's top-k must equal the direct numpy answer (ties → min id)."""
+    import ray.data as rd
+
+    from wrangler_ray.ops.similarity import brute_force_topk
+
+    rng = np.random.RandomState(7)
+    n, d, nq, k = 3000, 16, 64, 5
+    vecs = rng.randn(n, d).astype(np.float32)
+    queries = rng.randn(nq, d).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs]),
+        }
+    )
+    got = brute_force_topk(
+        rd.from_arrow(t).repartition(8), queries, k=k
+    ).to_pandas()
+    assert len(got) == nq * k
+
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = qn @ vn.T  # (nq, n)
+    for qi in range(nq):
+        # expected ordering: score desc, id asc on ties
+        order = np.lexsort((np.arange(n), -sims[qi]))[:k]
+        sub = got[got["query_idx"] == qi]
+        assert list(sub["vec_id"]) == list(order), f"query {qi} mismatch"
+        np.testing.assert_allclose(
+            sub["score"].to_numpy(), sims[qi][order], rtol=1e-5
+        )
+
+
+def test_wav_roundtrip_and_audio_features_real(ray_session):
+    import ray.data as rd
+
+    from wrangler_ray.ops.multimodal import (
+        audio_pipeline, make_real_wav_table, wav_decode, wav_encode)
+
+    # codec round-trip
+    samples = (np.sin(np.linspace(0, 20, 1000)) * 12000).astype(np.int16)
+    x, sr, nf = wav_decode(wav_encode(samples, 16000))
+    assert sr == 16000 and nf == 1000
+    np.testing.assert_allclose(x * 32768.0, samples, atol=0.5)
+
+    # real decode through the actor-pool stage: closed-form rms/duration
+    t = make_real_wav_table(n=24)
+    out = audio_pipeline(
+        rd.from_arrow(t), batch_size=8, fake=False
+    ).to_pandas().sort_values("id")
+    assert out["audio_ok"].all()
+    ids = out["id"].to_numpy()
+    np.testing.assert_allclose(
+        out["rms"].to_numpy(), (ids % 100 + 1) * 250 / 32768.0, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        out["duration_s"].to_numpy(), (1600 + 37 * ids) / 8000.0, rtol=1e-6
+    )
+
+
+def test_audio_features_bad_payload_is_row_error(ray_session):
+    import ray.data as rd
+
+    from wrangler_ray.ops.multimodal import AudioFeatures, wav_encode
+
+    t = pa.table(
+        {
+            "id": pa.array([0, 1, 2], pa.int64()),
+            "media": pa.array(
+                [wav_encode(np.full(100, 1000, np.int16)), b"not a wav", None],
+                pa.binary(),
+            ),
+        }
+    )
+    out = AudioFeatures(fake=False)(t).to_pandas()
+    assert list(out["audio_ok"]) == [True, False, False]
+    assert out["rms"].isna().tolist() == [False, True, True]

@@ -170,14 +170,56 @@ class SampleFrames:
         )
 
 
+def wav_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode an int16 mono sample array as RIFF/WAVE bytes with the stdlib
+    ``wave`` module (no audio lib needed)."""
+    import io
+    import wave as _wave
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.ascontiguousarray(samples, np.int16).tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(payload: bytes) -> tuple:
+    """Decode RIFF/WAVE bytes with the stdlib ``wave`` module. Returns
+    ``(samples_float, sample_rate, n_frames)`` where samples are normalized
+    to [-1, 1) (all channels interleaved, as read)."""
+    import io
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        nf = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(nf)
+    if width == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    return x, sr, nf
+
+
 class AudioFeatures:
-    """Audio feature stub: deterministic fake waveform stats from payload
-    digest. Adds ``rms: float32``, ``duration_s: float32``."""
+    """Audio feature stage. ``fake=False`` REALLY decodes RIFF/WAVE payloads
+    with the stdlib ``wave`` module (same approach as ops/png.py for images:
+    no external audio lib needed) and computes waveform stats; undecodable
+    rows get ``audio_ok=False`` and null features. ``fake=True`` keeps the
+    deterministic digest-derived stats for payloads that are not real audio.
+
+    Adds: ``rms: float32``, ``duration_s: float32``, ``audio_ok: bool``."""
 
     def __init__(self, media_col: str = "media", fake: bool = True):
         self.media_col = media_col
-        if not fake:
-            raise NotImplementedError("AudioFeatures: real decode needs an audio lib")
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.media_col).to_pylist()
@@ -191,19 +233,35 @@ class AudioFeatures:
             if "n_samples" in batch.column_names
             else [0] * batch.num_rows
         )
-        rms, dur = [], []
+        rms, dur, oks = [], [], []
         for p, sr, n in zip(payloads, srs, ns):
             if p is None:
                 rms.append(None)
                 dur.append(None)
+                oks.append(False)
                 continue
-            seed = int.from_bytes(hashlib.blake2b(bytes(p), digest_size=8).digest(), "little")
-            rng = np.random.RandomState(seed % (2**32))
-            wave = rng.randn(min(int(n) or 1000, 10_000)).astype(np.float32)
-            rms.append(float(np.sqrt((wave**2).mean())))
-            dur.append(float((n or 0) / (sr or 16000)))
+            if self.fake:
+                seed = int.from_bytes(
+                    hashlib.blake2b(bytes(p), digest_size=8).digest(), "little"
+                )
+                rng = np.random.RandomState(seed % (2**32))
+                wave = rng.randn(min(int(n) or 1000, 10_000)).astype(np.float32)
+                rms.append(float(np.sqrt((wave**2).mean())))
+                dur.append(float((n or 0) / (sr or 16000)))
+                oks.append(True)
+                continue
+            try:
+                x, real_sr, nf = wav_decode(bytes(p))
+                rms.append(float(np.sqrt((x**2).mean())) if len(x) else 0.0)
+                dur.append(float(nf / real_sr) if real_sr else None)
+                oks.append(True)
+            except Exception:
+                rms.append(None)
+                dur.append(None)
+                oks.append(False)
         batch = batch.append_column("rms", pa.array(rms, pa.float32()))
-        return batch.append_column("duration_s", pa.array(dur, pa.float32()))
+        batch = batch.append_column("duration_s", pa.array(dur, pa.float32()))
+        return batch.append_column("audio_ok", pa.array(oks, pa.bool_()))
 
 
 def make_fake_image_table(n: int = 64, seed: int = 9) -> pa.Table:
@@ -246,6 +304,54 @@ def make_real_png_table(n: int = 64, seed: int = 9) -> pa.Table:
     )
 
 
+def make_real_wav_table(n: int = 64, seed: int = 9) -> pa.Table:
+    """Deterministic REAL-WAV fixture: clip i is a CONSTANT-amplitude int16
+    mono signal with amplitude (i % 100 + 1) * 250 and n_samples
+    1600 + 37*i at 8 kHz — rms (= amplitude / 32768, exact for a constant
+    signal) and duration have closed forms, so the whole decode stage is
+    SQL-oracle-checkable."""
+    payloads, n_samples = [], []
+    sr = 8000
+    for i in range(n):
+        amp = (i % 100 + 1) * 250
+        ns = 1600 + 37 * i
+        payloads.append(wav_encode(np.full(ns, amp, np.int16), sr))
+        n_samples.append(ns)
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "media": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["audio/wav"] * n, pa.string()),
+            "sample_rate": pa.array([sr] * n, pa.int32()),
+            "n_samples": pa.array(n_samples, pa.int64()),
+        }
+    )
+
+
+def audio_pipeline(ds, batch_size: int = 64, concurrency: int | None = None,
+                   fake: bool = True):
+    """Audio feature extraction as an actor-pool map_batches stage (same
+    shape and sizing rules as image_pipeline). ``fake=False`` runs the real
+    stdlib-``wave`` decoder."""
+    return ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, fn_constructor_kwargs={"fake": fake},
+        concurrency=_default_pool(concurrency), num_cpus=0.5,
+    )
+
+
+def _default_pool(concurrency: int | None) -> int:
+    """Actor-pool width for decode stages: scale with the cluster instead of
+    a fixed pin (at num_cpus=0.5 a width of CPUs/1 leaves half the cores for
+    the read/sink stages)."""
+    if concurrency:
+        return concurrency
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, cpus)
+
+
 def image_pipeline(ds, batch_size: int = 64, concurrency: int | None = None,
                    fake: bool = True):
     """decode → resize as actor-pool stages with small batches (binary-heavy).
@@ -253,7 +359,7 @@ def image_pipeline(ds, batch_size: int = 64, concurrency: int | None = None,
     stage instead of starving it (pool CPUs must stay < session CPUs).
     ``fake=False`` runs the REAL decode/resize kernels (PIL or the stdlib
     PNG codec)."""
-    kw = {"concurrency": concurrency or 2, "num_cpus": 0.5}
+    kw = {"concurrency": _default_pool(concurrency), "num_cpus": 0.5}
     ds = ds.map_batches(
         DecodeImage, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, fn_constructor_kwargs={"fake": fake}, **kw,
