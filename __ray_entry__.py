@@ -424,6 +424,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.iter_batches(batch_size=None, batch_format="pyarrow")
         )
 
+    def parse_excel_roundtrip(sf_dir):
+        # self-authored OOXML workbooks (stdlib zip+XML writer) parsed by the
+        # stdlib parse-as-excel reader through the Ray chain — converts the
+        # binary-fixture parser from pytest-only to driver-certified. 4
+        # workbooks × 50 data rows, every cell in closed form.
+        import ray.data as rd
+
+        from wrangler_ray import apply_recipe
+        from wrangler_ray.ops.xlsx import xlsx_encode
+
+        books = []
+        for w in range(4):
+            rows = [["id", "name", "val"]]
+            for i in range(50):
+                g = w * 50 + i
+                rows.append([g, f"n{g}", g + 0.5])
+            books.append(xlsx_encode(rows))
+        ds = rd.from_arrow(
+            pa.table({"body": pa.array(books, pa.binary())})
+        ).repartition(4)
+        out = apply_recipe(ds, ["parse-as-excel :body '0' true"])
+        t = pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow")
+        ).select(["fwd", "bkd", "id", "name", "val"])
+        return t
+
     def multimodal_audio(sf_dir):
         # REAL decode: deterministic constant-amplitude WAVs authored and
         # decoded by the stdlib wave module — rms (= amplitude/32768, exact
@@ -1020,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis_docs": text_analysis_docs,
         "multimodal_images": multimodal_images,
         "multimodal_audio": multimodal_audio,
+        "parse_excel_roundtrip": parse_excel_roundtrip,
         "cdc_replay_events": cdc_replay_events,
         "cdc_inflight_recipe": cdc_inflight_recipe,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -1542,6 +1569,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(224 AS INTEGER) AS resized_w,
                    CAST(224 AS INTEGER) AS resized_h
             FROM range(256) t(i)
+        """,
+        "parse_excel_roundtrip": """
+            SELECT CAST(i % 50 AS BIGINT) AS fwd,
+                   CAST(49 - i % 50 AS BIGINT) AS bkd,
+                   CAST(i AS BIGINT) AS id,
+                   'n' || CAST(i AS VARCHAR) AS name,
+                   i + 0.5 AS val
+            FROM range(200) t(i)
         """,
         "multimodal_audio": """
             SELECT i AS id,

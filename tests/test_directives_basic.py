@@ -365,3 +365,70 @@ def test_recipe_result_write_split(tmp_path, ray_session):
     assert errs.num_rows == 10
     assert set(errs.column_names) == {"_wr_code", "_wr_msg", "_wr_directive", "_wr_row"}
     assert all("divisible" in m for m in errs.column("_wr_msg").to_pylist())
+
+
+# -- DirectiveConfig exclusion / aliasing (reference
+#    parser/ConfigDirectiveContextTest.java, exclusion-and-aliasing.md) -----
+
+_DCONF = """{
+    "exclusions": ["parse-as-csv", "invoke-http", "js-parser"],
+    "aliases": {"json-parser": "parse-as-json", "js-parser": "parse-as-json"}
+}"""
+
+
+def test_directive_config_basic_exclude():
+    import pytest as _pytest
+
+    from wrangler_ray import DirectiveConfig, compile_recipe
+    from wrangler_ray.core.errors import RecipeParseError
+
+    cfg = DirectiveConfig.from_json(_DCONF)
+    with _pytest.raises(RecipeParseError, match="restricted"):
+        compile_recipe(["parse-as-csv :body ','"], config=cfg)
+
+
+def test_directive_config_aliased_and_excluded():
+    import pytest as _pytest
+
+    from wrangler_ray import DirectiveConfig, compile_recipe
+    from wrangler_ray.core.errors import RecipeParseError
+
+    cfg = DirectiveConfig.from_json(_DCONF)
+    # js-parser aliases parse-as-json but is itself on the exclusion list
+    with _pytest.raises(RecipeParseError, match="[Aa]liased.*restricted"):
+        compile_recipe(["js-parser :body"], config=cfg)
+
+
+def test_directive_config_aliasing_resolves():
+    from wrangler_ray import DirectiveConfig, compile_recipe
+
+    cfg = DirectiveConfig.from_json(_DCONF)
+    steps = compile_recipe(["json-parser :body"], config=cfg)
+    assert len(steps) == 1
+    assert steps[0].name == "parse-as-json"
+
+
+def test_directive_config_empty_alias_fails_unknown():
+    import pytest as _pytest
+
+    from wrangler_ray import DirectiveConfig, compile_recipe
+    from wrangler_ray.core.errors import RecipeParseError
+
+    cfg = DirectiveConfig.from_json("{}")
+    with _pytest.raises(RecipeParseError, match="unknown directive"):
+        compile_recipe(["json-parser :body"], config=cfg)
+
+
+def test_directive_config_no_config_passthrough():
+    from wrangler_ray import compile_recipe
+
+    steps = compile_recipe(["parse-as-json :body"])
+    assert len(steps) == 1
+
+
+def test_directive_config_reverse_alias():
+    from wrangler_ray import DirectiveConfig
+
+    cfg = DirectiveConfig.from_json(_DCONF)
+    rev = cfg.reverse_alias()
+    assert sorted(rev["parse-as-json"]) == ["js-parser", "json-parser"]

@@ -392,3 +392,25 @@ def test_generate_uuid_shape_and_uniqueness():
     import re as _re
 
     assert all(_re.fullmatch(r"[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}", u) for u in us)
+
+
+def test_xlsx_encode_roundtrip():
+    """Self-authored workbook parses back exactly (writer twin of the stdlib
+    reader; inline strings, numbers, booleans, sparse cells)."""
+    from wrangler_ray.directives.parsers import _xlsx_rows
+    from wrangler_ray.ops.xlsx import xlsx_encode
+
+    rows = [
+        ["id", "name", "ok"],
+        [1, "alpha", True],
+        [2.5, "be<ta>&", False],
+        [None, "gamma", None],
+    ]
+    data = xlsx_encode(rows, sheet_name="My Sheet")
+    got = _xlsx_rows(data, "0")
+    assert got[0] == {"A": "id", "B": "name", "C": "ok"}
+    assert got[1] == {"A": 1, "B": "alpha", "C": True}
+    assert got[2] == {"A": 2.5, "B": "be<ta>&", "C": False}
+    assert got[3] == {"B": "gamma"}
+    # sheet resolvable by name too
+    assert _xlsx_rows(data, "My Sheet") == got

@@ -17,6 +17,7 @@ composable Arrow-batch transforms executed as ``ray.data.Dataset`` pipelines:
   plumbing.
 """
 
+from wrangler_ray.core.config import DirectiveConfig  # noqa: F401
 from wrangler_ray.pipeline import apply_recipe, compile_recipe  # noqa: F401
 
 __version__ = "0.1.0"

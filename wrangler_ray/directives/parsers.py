@@ -1016,8 +1016,11 @@ class ParseAsExcel(Directive):
     def __init__(self, call):
         self.column = call.col(0)
         self.sheet = call.text(1, default="0")
-        hdr = call.text(2, default="false")
-        self.header = str(hdr).lower() == "true"
+        try:
+            hdr = call.boolean(2, default=False)  # bare true/false token
+        except Exception:
+            hdr = str(call.text(2, default="false")).lower() == "true"
+        self.header = bool(hdr)
 
     def apply(self, table, ctx):
         from wrangler_ray.core.errors import make_error_table

@@ -32,12 +32,23 @@ from wrangler_ray.parser.recipe import parse_recipe
 import wrangler_ray.directives  # noqa: F401  (registration side effect)
 
 
-def compile_recipe(recipe: Union[str, list[str]], environment: Optional[dict] = None) -> list[Directive]:
-    """Parse + bind arguments: recipe text → list of ready Directive instances."""
+def compile_recipe(
+    recipe: Union[str, list[str]],
+    environment: Optional[dict] = None,
+    config=None,
+) -> list[Directive]:
+    """Parse + bind arguments: recipe text → list of ready Directive instances.
+
+    ``config`` is an optional ``DirectiveConfig`` (exclusions + aliases,
+    reference parser/ConfigDirectiveContext.java:27-64): each call name is
+    dereferenced through the alias map and checked against the exclusion
+    list before registry lookup — excluded names raise ``RecipeParseError``.
+    """
     calls = parse_recipe(recipe)
     directives = []
     for call in calls:
-        cls = get_directive_class(call.name)
+        name = config.resolve(call.name) if config is not None else call.name
+        cls = get_directive_class(name)
         directives.append(cls(call))
     return directives
 
@@ -193,13 +204,16 @@ def apply_recipe(
     on_error: str = "skip",
     environment: Optional[dict] = None,
     batch_size: Optional[int] = None,
+    config=None,
 ):
     """Apply a recipe to a ``ray.data.Dataset`` (the ``TestingRig.execute``
     equivalent — reference wrangler-core/src/test/java/.../TestingRig.java:79-93).
 
-    Returns a Dataset (on_error=skip/fail) or a RecipeResult (on_error=tag).
+    ``config``: optional ``DirectiveConfig`` applying admin exclusions and
+    aliases at compile time. Returns a Dataset (on_error=skip/fail) or a
+    RecipeResult (on_error=tag).
     """
-    directives = compile_recipe(recipe, environment)
+    directives = compile_recipe(recipe, environment, config=config)
     chain = DirectiveChain(directives, on_error=on_error, environment=environment)
     kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
     if batch_size is not None:
