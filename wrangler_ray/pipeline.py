@@ -36,6 +36,7 @@ def compile_recipe(
     recipe: Union[str, list[str]],
     environment: Optional[dict] = None,
     config=None,
+    migrate: bool = False,
 ) -> list[Directive]:
     """Parse + bind arguments: recipe text → list of ready Directive instances.
 
@@ -43,7 +44,13 @@ def compile_recipe(
     reference parser/ConfigDirectiveContext.java:27-64): each call name is
     dereferenced through the alias map and checked against the exclusion
     list before registry lookup — excluded names raise ``RecipeParseError``.
+    ``migrate=True`` first rewrites legacy v1 syntax to the v2 grammar
+    (reference parser/MigrateToV2.java:67-90).
     """
+    if migrate:
+        from wrangler_ray.parser.migrate import migrate_to_v2
+
+        recipe = migrate_to_v2(recipe)
     calls = parse_recipe(recipe)
     directives = []
     for call in calls:
@@ -205,15 +212,17 @@ def apply_recipe(
     environment: Optional[dict] = None,
     batch_size: Optional[int] = None,
     config=None,
+    migrate: bool = False,
 ):
     """Apply a recipe to a ``ray.data.Dataset`` (the ``TestingRig.execute``
     equivalent — reference wrangler-core/src/test/java/.../TestingRig.java:79-93).
 
     ``config``: optional ``DirectiveConfig`` applying admin exclusions and
-    aliases at compile time. Returns a Dataset (on_error=skip/fail) or a
-    RecipeResult (on_error=tag).
+    aliases at compile time. ``migrate=True`` accepts legacy v1 recipe
+    syntax. Returns a Dataset (on_error=skip/fail) or a RecipeResult
+    (on_error=tag).
     """
-    directives = compile_recipe(recipe, environment, config=config)
+    directives = compile_recipe(recipe, environment, config=config, migrate=migrate)
     chain = DirectiveChain(directives, on_error=on_error, environment=environment)
     kwargs = {"batch_format": "pyarrow", "zero_copy_batch": True}
     if batch_size is not None:
