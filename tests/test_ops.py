@@ -360,3 +360,51 @@ def test_audio_features_bad_payload_is_row_error(ray_session):
     out = AudioFeatures(fake=False)(t).to_pandas()
     assert list(out["audio_ok"]) == [True, False, False]
     assert out["rms"].isna().tolist() == [False, True, True]
+
+
+def test_avi_roundtrip_and_video_features_real(ray_session):
+    import ray.data as rd
+
+    from wrangler_ray.ops.avi import avi_decode, avi_encode
+    from wrangler_ray.ops.multimodal import (
+        VideoFrames, make_real_avi_table, video_pipeline)
+
+    # codec round-trip: arbitrary pixel content, odd width (row padding path)
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (11, 9, 3), dtype=np.uint8) for _ in range(6)]
+    out, fps, w, h = avi_decode(avi_encode(frames, fps=24))
+    assert (fps, w, h, len(out)) == (24, 9, 11, 6)
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
+
+    # real decode through the actor-pool stage: closed-form sampled-frame mean
+    t = make_real_avi_table(n=20)
+    got = video_pipeline(
+        rd.from_arrow(t), batch_size=8, fake=False
+    ).to_pandas().sort_values("id")
+    assert got["video_ok"].all()
+    for _, row in got.iterrows():
+        i = int(row["id"])
+        nf = 4 + i % 13
+        picked = list(range(0, nf, 2))[:4]
+        assert row["n_frames_decoded"] == nf
+        assert row["n_sampled"] == len(picked)
+        assert row["fps"] == 10
+        exp = np.mean([(i * 7 + f * 11) % 256 for f in picked])
+        np.testing.assert_allclose(row["frame_mean"], exp, rtol=1e-6)
+
+
+def test_video_features_bad_payload_is_row_error():
+    from wrangler_ray.ops.avi import avi_encode
+    from wrangler_ray.ops.multimodal import VideoFrames
+
+    good = avi_encode([np.full((4, 4, 3), 7, np.uint8)] * 3, fps=10)
+    t = pa.table(
+        {
+            "id": pa.array([0, 1, 2], pa.int64()),
+            "media": pa.array([good, b"not an avi", None], pa.binary()),
+        }
+    )
+    out = VideoFrames(fake=False)(t).to_pandas()
+    assert list(out["video_ok"]) == [True, False, False]
+    assert out["frame_mean"].isna().tolist() == [False, True, True]

@@ -170,6 +170,71 @@ class SampleFrames:
         )
 
 
+class VideoFrames:
+    """Video frame-sampling + per-frame features. ``fake=False`` REALLY
+    decodes uncompressed-DIB AVI payloads with the pure-stdlib RIFF codec
+    (ops/avi.py — the video analog of ops/png.py / the ``wave`` module) and
+    computes statistics over every ``stride``-th frame (cap ``max_frames``,
+    the shape an ffmpeg-based sampler has); undecodable rows get
+    ``video_ok=False`` and null features. ``fake=True`` derives the same
+    columns deterministically from metadata + payload digest.
+
+    Adds: ``n_frames_decoded: int32``, ``n_sampled: int32``,
+    ``frame_mean: float32`` (mean pixel value over the sampled frames),
+    ``fps: int32``, ``video_ok: bool``."""
+
+    def __init__(self, media_col: str = "media", stride: int = 2,
+                 max_frames: int = 4, fake: bool = True):
+        self.media_col = media_col
+        self.stride = stride
+        self.max_frames = max_frames
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from wrangler_ray.ops.avi import avi_decode
+
+        payloads = batch.column(self.media_col).to_pylist()
+        meta_nf = (
+            batch.column("n_frames").to_pylist()
+            if "n_frames" in batch.column_names
+            else [0] * batch.num_rows
+        )
+        nfd, nsm, fmean, fpss, oks = [], [], [], [], []
+        for p, mnf in zip(payloads, meta_nf):
+            if p is None:
+                nfd.append(None); nsm.append(None); fmean.append(None)
+                fpss.append(None); oks.append(False)
+                continue
+            if self.fake:
+                seed = int.from_bytes(
+                    hashlib.blake2b(bytes(p), digest_size=8).digest(), "little"
+                )
+                rng = np.random.RandomState(seed % (2**32))
+                nf = int(mnf) or 1
+                picked = list(range(0, nf, self.stride))[: self.max_frames]
+                nfd.append(nf); nsm.append(len(picked))
+                fmean.append(float(rng.randint(0, 256)))
+                fpss.append(30); oks.append(True)
+                continue
+            try:
+                frames, fps, _w, _h = avi_decode(bytes(p))
+                picked = frames[:: self.stride][: self.max_frames]
+                nfd.append(len(frames)); nsm.append(len(picked))
+                fmean.append(
+                    float(np.mean([f.mean(dtype=np.float64) for f in picked]))
+                    if picked else None
+                )
+                fpss.append(int(fps)); oks.append(True)
+            except Exception:
+                nfd.append(None); nsm.append(None); fmean.append(None)
+                fpss.append(None); oks.append(False)
+        batch = batch.append_column("n_frames_decoded", pa.array(nfd, pa.int32()))
+        batch = batch.append_column("n_sampled", pa.array(nsm, pa.int32()))
+        batch = batch.append_column("frame_mean", pa.array(fmean, pa.float32()))
+        batch = batch.append_column("fps", pa.array(fpss, pa.int32()))
+        return batch.append_column("video_ok", pa.array(oks, pa.bool_()))
+
+
 def wav_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """Encode an int16 mono sample array as RIFF/WAVE bytes with the stdlib
     ``wave`` module (no audio lib needed)."""
@@ -325,6 +390,48 @@ def make_real_wav_table(n: int = 64, seed: int = 9) -> pa.Table:
             "sample_rate": pa.array([sr] * n, pa.int32()),
             "n_samples": pa.array(n_samples, pa.int64()),
         }
+    )
+
+
+def make_real_avi_table(n: int = 64, seed: int = 9) -> pa.Table:
+    """Deterministic REAL-AVI fixture: clip i has 4 + i%13 frames at
+    width=8+i%16, height=8+(3*i)%16, 10 fps, and frame f is the solid color
+    (i*7 + f*11) % 256 — so the sampled-frame count and the mean pixel value
+    over frames [0::stride][:max_frames] both have closed forms a SQL oracle
+    can compute with a lateral range() join."""
+    from wrangler_ray.ops.avi import avi_encode
+
+    payloads, n_frames = [], []
+    for i in range(n):
+        w, h = 8 + i % 16, 8 + (3 * i) % 16
+        nf = 4 + i % 13
+        frames = [
+            np.full((h, w, 3), (i * 7 + f * 11) % 256, np.uint8) for f in range(nf)
+        ]
+        payloads.append(avi_encode(frames, fps=10))
+        n_frames.append(nf)
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "media": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["video/avi"] * n, pa.string()),
+            "n_frames": pa.array(n_frames, pa.int32()),
+        }
+    )
+
+
+def video_pipeline(ds, batch_size: int = 32, concurrency: int | None = None,
+                   fake: bool = True, stride: int = 2, max_frames: int = 4):
+    """Frame-sample + per-frame features as an actor-pool map_batches stage
+    (video payloads are the largest of the media types — keep ``batch_size``
+    small so batch × pool width fits worker heaps). ``fake=False`` runs the
+    real stdlib AVI decoder."""
+    return ds.map_batches(
+        VideoFrames, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size,
+        fn_constructor_kwargs={"fake": fake, "stride": stride,
+                               "max_frames": max_frames},
+        concurrency=_default_pool(concurrency), num_cpus=0.5,
     )
 
 
