@@ -466,6 +466,156 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.iter_batches(batch_size=None, batch_format="pyarrow")
         )
 
+    def multimodal_video(sf_dir):
+        # REAL decode: deterministic solid-color uncompressed-DIB AVI clips
+        # authored and decoded by the pure-stdlib RIFF codec (ops/avi.py) —
+        # sampled-frame count and mean pixel value have closed forms, so the
+        # whole video stage is oracle-checkable (frames [0::2][:4] of clip i
+        # have colors (i*7 + f*11) % 256)
+        import ray.data as rd
+
+        from wrangler_ray.ops.multimodal import make_real_avi_table, video_pipeline
+
+        t = make_real_avi_table(n=256)
+        out = video_pipeline(rd.from_arrow(t), batch_size=32, fake=False)
+        out = out.drop_columns(["media", "media_type"])
+        got = pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        return _round_cols(got, {"frame_mean": 4})
+
+    def parse_avro_file_roundtrip(sf_dir):
+        # self-authored Avro object-container blobs (ops/avro_writer.py, codec
+        # deflate) exploded by parse-as-avro-file through the Ray chain — the
+        # avro-file parser goes from pytest-only to driver-certified. 4
+        # containers × 50 records, every field in closed form (union branch
+        # exercised via the nullable `opt`).
+        import ray.data as rd
+
+        from wrangler_ray import apply_recipe
+        from wrangler_ray.ops.avro_writer import write_container
+
+        schema = {
+            "type": "record",
+            "name": "Ev",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": "string"},
+                {"name": "score", "type": "double"},
+                {"name": "opt", "type": ["null", "long"]},
+            ],
+        }
+        blobs = []
+        for w in range(4):
+            recs = [
+                {
+                    "id": g,
+                    "name": f"n{g}",
+                    "score": g + 0.25,
+                    "opt": (g * 2 if g % 3 == 0 else None),
+                }
+                for g in range(w * 50, w * 50 + 50)
+            ]
+            blobs.append(write_container(schema, recs, codec="deflate"))
+        ds = rd.from_arrow(
+            pa.table({"body": pa.array(blobs, pa.binary())})
+        ).repartition(4)
+        out = apply_recipe(ds, ["parse-as-avro-file :body"])
+        t = pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        return t.select(["id", "name", "score", "opt"])
+
+    def parse_protobuf_roundtrip(sf_dir):
+        # self-authored wire-format messages + FileDescriptorSet
+        # (ops/proto_writer.py) decoded by parse-as-protobuf through the Ray
+        # chain — 200 one-message rows, every field in closed form incl. a
+        # zigzag sint64 and an explicit false bool.
+        import ray.data as rd
+
+        from wrangler_ray import apply_recipe
+        from wrangler_ray.directives.parsers import register_protobuf_descriptor
+        from wrangler_ray.ops.proto_writer import (
+            T_BOOL, T_DOUBLE, T_INT64, T_SINT64, T_STRING,
+            encode_message, make_descriptor_set,
+        )
+
+        spec = {
+            "id": (1, T_INT64),
+            "name": (2, T_STRING),
+            "score": (3, T_DOUBLE),
+            "delta": (4, T_SINT64),
+            "flag": (5, T_BOOL),
+        }
+        register_protobuf_descriptor(
+            "driver_demo", make_descriptor_set("demo", {"Ev": spec})
+        )
+        bodies = [
+            encode_message(
+                {"id": i, "name": f"n{i}", "score": i + 0.5,
+                 "delta": -i, "flag": i % 2 == 1},
+                spec,
+            )
+            for i in range(200)
+        ]
+        ds = rd.from_arrow(
+            pa.table({"body": pa.array(bodies, pa.binary())})
+        ).repartition(4)
+        out = apply_recipe(ds, ["parse-as-protobuf :body driver_demo Ev"])
+        t = pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        return t.select(["body_id", "body_name", "body_score", "body_delta",
+                         "body_flag"])
+
+    def string_mega2_customer(sf_dir):
+        # certifies the remaining pytest-only string directives: stemming
+        # (Porter, 5-value closed-form), text-metric (levenshtein similarity
+        # = 4/len for a 4-char prefix pair), url-decode (encode∘decode
+        # identity + a literal percent-decode), flatten of 1-element lists
+        ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+        out = apply_recipe(
+            ds,
+            [
+                "copy :c_mktsegment :seg",
+                "lowercase :seg",
+                "stemming :seg",
+                "flatten :seg_porter",
+                "indexsplit :c_mktsegment 1 4 :seg4",
+                "text-metric levenshtein :c_mktsegment :seg4 :sim",
+                "copy :c_name :enc",
+                "url-encode :enc",
+                "url-decode :enc",
+                "set-column :pct exp:{'a%20b%2Bc%2Fd+e'}",
+                "url-decode :pct",
+                "keep :c_custkey,:seg,:seg_porter,:seg4,:sim,:enc,:pct",
+            ],
+        )
+        t = pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        return _round_cols(t, {"sim": 6})
+
+    def json_map_nation(sf_dir):
+        # write-as-json-map: whole row → JSON object string (key order =
+        # column order, json.dumps default separators — reconstructable in SQL)
+        ds = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+        return apply_recipe(ds, ["write-as-json-map :jm"])
+
+    def record_delim_nation(sf_dir):
+        # set-record-delim explodes a delimited blob into rows;
+        # send-to-error-and-continue must KEEP its matching rows in the main
+        # flow (the 'continue' half of the error-channel contract)
+        ds = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+        return apply_recipe(
+            ds,
+            [
+                "set-column :blob exp:{concat(n_name, '|', n_nationkey, '|X')}",
+                "send-to-error-and-continue exp:{n_nationkey < 5} 'small key'",
+                "set-record-delim :blob '|'",
+            ],
+        )
+
     def cdc_replay_events(sf_dir):
         return _run_cdc(sf_dir)
 
@@ -1046,7 +1196,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis_docs": text_analysis_docs,
         "multimodal_images": multimodal_images,
         "multimodal_audio": multimodal_audio,
+        "multimodal_video": multimodal_video,
         "parse_excel_roundtrip": parse_excel_roundtrip,
+        "parse_avro_file_roundtrip": parse_avro_file_roundtrip,
+        "parse_protobuf_roundtrip": parse_protobuf_roundtrip,
+        "string_mega2_customer": string_mega2_customer,
+        "json_map_nation": json_map_nation,
+        "record_delim_nation": record_delim_nation,
         "cdc_replay_events": cdc_replay_events,
         "cdc_inflight_recipe": cdc_inflight_recipe,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -1586,6 +1742,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1600 + 37 * i) / 8000.0 AS FLOAT) AS duration_s,
                    TRUE AS audio_ok
             FROM range(256) t(i)
+        """,
+        "multimodal_video": """
+            SELECT v.i AS id,
+                   CAST(4 + v.i % 13 AS INTEGER) AS n_frames,
+                   CAST(4 + v.i % 13 AS INTEGER) AS n_frames_decoded,
+                   CAST(count(*) AS INTEGER) AS n_sampled,
+                   ROUND(avg((v.i * 7 + s.f * 11) % 256), 4) AS frame_mean,
+                   CAST(10 AS INTEGER) AS fps,
+                   TRUE AS video_ok
+            FROM range(256) v(i)
+            JOIN range(0, 16, 2) s(f)
+              ON s.f < 4 + v.i % 13 AND s.f < 8
+            GROUP BY v.i
+        """,
+        "parse_avro_file_roundtrip": """
+            SELECT CAST(i AS BIGINT) AS id,
+                   'n' || CAST(i AS VARCHAR) AS name,
+                   i + 0.25 AS score,
+                   CASE WHEN i % 3 = 0 THEN CAST(i * 2 AS BIGINT) END AS opt
+            FROM range(200) t(i)
+        """,
+        "parse_protobuf_roundtrip": """
+            SELECT CAST(i AS BIGINT) AS body_id,
+                   'n' || CAST(i AS VARCHAR) AS body_name,
+                   i + 0.5 AS body_score,
+                   CAST(-i AS BIGINT) AS body_delta,
+                   i % 2 = 1 AS body_flag
+            FROM range(200) t(i)
+        """,
+        "string_mega2_customer": """
+            SELECT c_custkey,
+                   lower(c_mktsegment) AS seg,
+                   CASE lower(c_mktsegment)
+                     WHEN 'automobile' THEN 'automobil'
+                     WHEN 'building'   THEN 'build'
+                     WHEN 'furniture'  THEN 'furnitur'
+                     WHEN 'machinery'  THEN 'machineri'
+                     WHEN 'household'  THEN 'household'
+                   END AS seg_porter,
+                   substr(c_mktsegment, 1, 4) AS seg4,
+                   CAST(ROUND(4.0 / length(c_mktsegment), 6) AS FLOAT) AS sim,
+                   c_name AS enc,
+                   'a b+c/d e' AS pct
+            FROM customer
+        """,
+        "json_map_nation": """
+            SELECT n_nationkey, n_name,
+                   '{"n_nationkey": ' || n_nationkey
+                     || ', "n_name": "' || n_name || '"}' AS jm
+            FROM nation
+        """,
+        "record_delim_nation": """
+            SELECT n_nationkey, n_name,
+                   unnest(string_split(
+                       n_name || '|' || n_nationkey || '|X', '|')) AS blob
+            FROM nation
         """,
         # rows-only (non-SQL-expressible): dedup_minhash_docs,
         # dedup_simhash_docs, dedup_embedding_vecs, dedup_ngram_docs,
