@@ -653,6 +653,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         names = ["lsn" if c == "_lsn" else c for c in out.column_names]
         return out.rename_columns(names)
 
+    def cdc_compact_vacuum(sf_dir):
+        # maintenance paths under the gate: MOR deltas folded back by
+        # compact() (single base file per partition again), then vacuum()
+        # GCs every version but the compacted one — the surviving table must
+        # still equal the full replay bit for bit
+        from wrangler_ray.cdc.engine import CdcTable
+
+        changes = _derive_changes(sf_dir)
+        idx = pc.sort_indices(changes, sort_keys=[("lsn", "ascending")])
+        changes = changes.take(idx)
+        n = changes.num_rows
+        workdir = tempfile.mkdtemp(prefix="wr_cdc_cv_")
+        seg_dir = os.path.join(workdir, "segments")
+        os.makedirs(seg_dir)
+        segs = []
+        for i in range(4):
+            part = changes.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4)
+            p = os.path.join(seg_dir, f"segment-{i:03d}.parquet")
+            pq.write_table(part, p)
+            segs.append(p)
+        table = CdcTable(os.path.join(workdir, "lake"), num_partitions=16)
+        table.apply_changes(segs[:2], mode="cow")
+        table.apply_changes([segs[2]], mode="mor")
+        table.apply_changes([segs[3]], mode="mor")
+        table.compact()
+        if table._has_deltas():
+            raise AssertionError("compact() left merge-on-read deltas behind")
+        table.vacuum(keep_versions=1)
+        out = table.read_arrow(drop_internal=False)
+        names = ["lsn" if c == "_lsn" else c for c in out.column_names]
+        return out.rename_columns(names)
+
+    def cdc_time_travel(sf_dir):
+        # manifest time travel: two transactions, then read(version=1) must
+        # reproduce the state after the FIRST transaction only (vacuum's
+        # keep_versions default preserves it)
+        from wrangler_ray.cdc.engine import CdcTable
+
+        changes = _derive_changes(sf_dir)
+        idx = pc.sort_indices(changes, sort_keys=[("lsn", "ascending")])
+        changes = changes.take(idx)
+        n = changes.num_rows
+        workdir = tempfile.mkdtemp(prefix="wr_cdc_tt_")
+        seg_dir = os.path.join(workdir, "segments")
+        os.makedirs(seg_dir)
+        segs = []
+        for i, part in enumerate(
+            (changes.slice(0, n // 2), changes.slice(n // 2, n - n // 2))
+        ):
+            p = os.path.join(seg_dir, f"segment-{i:03d}.parquet")
+            pq.write_table(part, p)
+            segs.append(p)
+        table = CdcTable(os.path.join(workdir, "lake"), num_partitions=16)
+        table.apply_changes([segs[0]])
+        table.apply_changes([segs[1]])
+        out = table.read_arrow(drop_internal=False, version=1)
+        names = ["lsn" if c == "_lsn" else c for c in out.column_names]
+        return out.rename_columns(names)
+
     def hash_join_orders_customer(sf_dir):
         from wrangler_ray.ops.joins import hash_join
 
@@ -1207,6 +1266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_inflight_recipe": cdc_inflight_recipe,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_mor_tail": cdc_mor_tail,
+        "cdc_compact_vacuum": cdc_compact_vacuum,
+        "cdc_time_travel": cdc_time_travel,
         "hash_join_orders_customer": hash_join_orders_customer,
         "broadcast_join_supplier_nation": broadcast_join_supplier_nation,
         "asof_join_events_orders": asof_join_events_orders,
@@ -1430,6 +1491,57 @@ def oracle_sql() -> dict[str, str]:
                        props AS text,
                        ts
                 FROM events
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY conv_id, turn_idx
+                                          ORDER BY lsn DESC) AS rn
+                FROM changes
+            )
+            SELECT conv_id, turn_idx, text, ts, lsn
+            FROM ranked
+            WHERE rn = 1 AND op <> 'D'
+        """,
+        # compact() + vacuum(keep_versions=1) must preserve the exact replay
+        # state — the oracle is the full last-writer-wins replay, identical
+        # to cdc_mor_tail's
+        "cdc_compact_vacuum": """
+            WITH changes AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN value < 5 THEN 'D' ELSE 'U' END AS op,
+                       'conv-' || CAST(user_id % 500 AS VARCHAR) AS conv_id,
+                       CAST(event_id % 20 AS INTEGER) AS turn_idx,
+                       props AS text,
+                       ts
+                FROM events
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY conv_id, turn_idx
+                                          ORDER BY lsn DESC) AS rn
+                FROM changes
+            )
+            SELECT conv_id, turn_idx, text, ts, lsn
+            FROM ranked
+            WHERE rn = 1 AND op <> 'D'
+        """,
+        # read(version=1) after two transactions = replay of only the FIRST
+        # half of the lsn-ordered change stream (segment 0 = changes rows
+        # [0, n//2) after the lsn sort)
+        "cdc_time_travel": """
+            WITH ordered AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN value < 5 THEN 'D' ELSE 'U' END AS op,
+                       'conv-' || CAST(user_id % 500 AS VARCHAR) AS conv_id,
+                       CAST(event_id % 20 AS INTEGER) AS turn_idx,
+                       props AS text,
+                       ts,
+                       row_number() OVER (ORDER BY event_id) AS pos
+                FROM events
+            ),
+            changes AS (
+                SELECT * FROM ordered
+                WHERE pos <= (SELECT COUNT(*) // 2 FROM events)
             ),
             ranked AS (
                 SELECT *,
