@@ -685,6 +685,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         names = ["lsn" if c == "_lsn" else c for c in out.column_names]
         return out.rename_columns(names)
 
+    def cdc_resume_idempotent(sf_dir):
+        # exactly-once under at-least-once delivery: segment 0 is delivered
+        # TWICE (watermark skip), then the WHOLE stream is re-delivered
+        # (lsn > watermark filter drops the prefix) — the final table must
+        # still equal the single clean replay
+        from wrangler_ray.cdc.engine import CdcTable
+
+        changes = _derive_changes(sf_dir)
+        idx = pc.sort_indices(changes, sort_keys=[("lsn", "ascending")])
+        changes = changes.take(idx)
+        n = changes.num_rows
+        workdir = tempfile.mkdtemp(prefix="wr_cdc_idem_")
+        seg_dir = os.path.join(workdir, "segments")
+        os.makedirs(seg_dir)
+        segs = []
+        for i, part in enumerate(
+            (changes.slice(0, n // 2), changes.slice(n // 2, n - n // 2))
+        ):
+            p = os.path.join(seg_dir, f"segment-{i:03d}.parquet")
+            pq.write_table(part, p)
+            segs.append(p)
+        table = CdcTable(os.path.join(workdir, "lake"), num_partitions=16)
+        table.apply_changes([segs[0]])
+        table.apply_changes([segs[0]])  # duplicate delivery — must no-op
+        table.apply_changes(segs)       # full re-delivery — prefix skipped
+        out = table.read_arrow(drop_internal=False)
+        names = ["lsn" if c == "_lsn" else c for c in out.column_names]
+        return out.rename_columns(names)
+
     def cdc_time_travel(sf_dir):
         # manifest time travel: two transactions, then read(version=1) must
         # reproduce the state after the FIRST transaction only (vacuum's
@@ -1267,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_mor_tail": cdc_mor_tail,
         "cdc_compact_vacuum": cdc_compact_vacuum,
+        "cdc_resume_idempotent": cdc_resume_idempotent,
         "cdc_time_travel": cdc_time_travel,
         "hash_join_orders_customer": hash_join_orders_customer,
         "broadcast_join_supplier_nation": broadcast_join_supplier_nation,
@@ -1506,6 +1536,28 @@ def oracle_sql() -> dict[str, str]:
         # state — the oracle is the full last-writer-wins replay, identical
         # to cdc_mor_tail's
         "cdc_compact_vacuum": """
+            WITH changes AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN value < 5 THEN 'D' ELSE 'U' END AS op,
+                       'conv-' || CAST(user_id % 500 AS VARCHAR) AS conv_id,
+                       CAST(event_id % 20 AS INTEGER) AS turn_idx,
+                       props AS text,
+                       ts
+                FROM events
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY conv_id, turn_idx
+                                          ORDER BY lsn DESC) AS rn
+                FROM changes
+            )
+            SELECT conv_id, turn_idx, text, ts, lsn
+            FROM ranked
+            WHERE rn = 1 AND op <> 'D'
+        """,
+        # duplicate + overlapping delivery must collapse to the clean replay —
+        # identical oracle to cdc_replay_events
+        "cdc_resume_idempotent": """
             WITH changes AS (
                 SELECT event_id AS lsn,
                        CASE WHEN value < 5 THEN 'D' ELSE 'U' END AS op,
