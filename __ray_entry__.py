@@ -616,6 +616,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ],
         )
 
+    def nondet_invariants_nation(sf_dir):
+        # certifies the three inherently nondeterministic directives via
+        # SQL-expressible invariants: generate-uuid (v4 shape + global
+        # distinctness across batches), mask-shuffle (per-char class counts
+        # preserved), current-datetime (injectable clock → exact constant)
+        import datetime as dt
+
+        ds = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).repartition(4)
+        out = apply_recipe(
+            ds,
+            [
+                "generate-uuid :u",
+                "copy :n_name :m",
+                "mask-shuffle :m",
+                "current-datetime :asof 'UTC'",
+            ],
+            environment={"now": dt.datetime(2026, 1, 2, 3, 4, 5)},
+        )
+        t = pa.concat_tables(
+            out.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        df = t.to_pandas()
+        u = df["u"].astype(str)
+        m = df["m"].astype(str)
+        n_distinct = int(u.nunique())
+        return pa.table(
+            {
+                "n_nationkey": t["n_nationkey"],
+                "u_len": pa.array(u.str.len().astype("int64")),
+                "u_ver": pa.array(u.str[14]),
+                "u_dashes": pa.array(u.str.count("-").astype("int64")),
+                "u_distinct": pa.array([n_distinct] * len(df), pa.int64()),
+                "m_len": pa.array(m.str.len().astype("int64")),
+                "m_upper": pa.array(m.str.count(r"[A-Z]").astype("int64")),
+                "m_lower": pa.array(m.str.count(r"[a-z]").astype("int64")),
+                "m_digit": pa.array(m.str.count(r"[0-9]").astype("int64")),
+                "asof": t["asof"],
+            }
+        )
+
     def cdc_replay_events(sf_dir):
         return _run_cdc(sf_dir)
 
@@ -1291,6 +1331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_mega2_customer": string_mega2_customer,
         "json_map_nation": json_map_nation,
         "record_delim_nation": record_delim_nation,
+        "nondet_invariants_nation": nondet_invariants_nation,
         "cdc_replay_events": cdc_replay_events,
         "cdc_inflight_recipe": cdc_inflight_recipe,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -1449,6 +1490,19 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC, vec_id
             LIMIT 10
+        """,
+        "nondet_invariants_nation": """
+            SELECT n_nationkey,
+                   CAST(36 AS BIGINT) AS u_len,
+                   '4' AS u_ver,
+                   CAST(4 AS BIGINT) AS u_dashes,
+                   (SELECT COUNT(*) FROM nation) AS u_distinct,
+                   length(n_name) AS m_len,
+                   length(regexp_replace(n_name, '[^A-Z]', '', 'g')) AS m_upper,
+                   length(regexp_replace(n_name, '[^a-z]', '', 'g')) AS m_lower,
+                   length(regexp_replace(n_name, '[^0-9]', '', 'g')) AS m_digit,
+                   TIMESTAMP '2026-01-02 03:04:05' AS asof
+            FROM nation
         """,
         "cdc_replay_events": """
             WITH changes AS (
