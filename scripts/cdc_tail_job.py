@@ -55,7 +55,8 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(include_dashboard=False, logging_level="ERROR")
 
     from wrangler_ray.cdc.engine import CdcTable
@@ -104,7 +105,8 @@ def main(argv: list[str] | None = None) -> int:
         "events_per_sec": round(events / wall, 1) if wall > 0 else None,
     }
     print(json.dumps(summary), flush=True)
-    ray.shutdown()
+    if owns_session:
+        ray.shutdown()
     return 0
 
 

@@ -512,3 +512,43 @@ def test_apply_rejects_segment_without_lsn(tmp_path, stream, ray_session):
     seg_dir = os.path.dirname(stream["segments"][0])
     with pytest.raises(ValueError, match="lsn"):
         table.tail(seg_dir)  # default pattern picks up base.parquet
+
+
+def test_cdc_tail_job_entrypoint(tmp_path, stream, ray_session, capsys):
+    """The ray-job-submit entrypoint (scripts/cdc_tail_job.py): windowed
+    commits with metrics lines, then an idempotent no-op re-submit — and it
+    must NOT shut down a Ray session it didn't create."""
+    import importlib.util
+    import json as _json
+
+    import ray
+
+    spec = importlib.util.spec_from_file_location(
+        "cdc_tail_job",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "cdc_tail_job.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    seg_dir = os.path.dirname(stream["segments"][0])
+    args = [
+        "--table-dir", str(tmp_path / "lake"),
+        "--segment-dir", seg_dir,
+        "--pattern", "segment-*.parquet",
+        "--window-events", "600",
+        "--num-partitions", "8",
+    ]
+    assert mod.main(args) == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    summary = lines[-1]
+    assert summary["windows_committed"] >= 2
+    assert summary["events_consumed"] == 2000
+    assert summary["watermark_after"] == 2000
+    assert all("txn_id" in l for l in lines[:-1])
+    # second submit: no-op resume
+    assert mod.main(args) == 0
+    lines2 = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines2[-1]["windows_committed"] == 0
+    assert lines2[-1]["events_consumed"] == 0
+    # the shared session must survive
+    assert ray.is_initialized()
