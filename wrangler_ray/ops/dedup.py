@@ -351,10 +351,19 @@ def minhash_lsh_dedup(
     distributed: bool = False,
     max_driver_edges: int = 4_000_000,
     pair_cap: int = 256,
+    pre_exact: bool = True,
 ):
     """MinHash+LSH near-dup removal: shingle→minhash→band→bucket groupby→
     candidate pairs→verify Jaccard→connected components→keep min-id per
     cluster. Returns the deduplicated Dataset.
+
+    ``pre_exact`` first collapses byte-identical texts with the cheap
+    exact_dedup pass (keep min id per distinct text). This is semantics-
+    preserving — identical texts have identical shingle sets, so Jaccard
+    1.0 ≥ any threshold and every copy always lands in its original's
+    cluster with the group minimum id — but on dup-heavy corpora (crawl
+    data) it shrinks signature work linearly and candidate-edge volume
+    quadratically before the expensive stages run.
 
     Verification is two-tier so dup-heavy corpora (crawl data) stay cheap:
     every candidate edge is scored with the vectorized MinHash Jaccard
@@ -371,6 +380,8 @@ def minhash_lsh_dedup(
     connected components + representative join). Same semantics up to the
     borderline estimate band."""
     assert num_perm % bands == 0
+    if pre_exact:
+        ds = exact_dedup(ds, text_col=text_col, id_col=id_col)
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
 
@@ -786,13 +797,18 @@ def simhash64_batch(texts) -> np.ndarray:
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
                   distributed: bool = False, max_driver_edges: int = 4_000_000,
-                  pair_cap: int = 256):
+                  pair_cap: int = 256, pre_exact: bool = True):
     """SimHash near-dup: 64-bit signature, 4×16-bit band blocking (any pair
     within hamming ≤3 shares at least one exact 16-bit band), verify hamming
     within buckets, drop non-representatives. ``distributed=True`` clusters
     with ops.cc min-label propagation instead of driver union-find (edges are
-    already hamming-verified inside the buckets)."""
+    already hamming-verified inside the buckets). ``pre_exact`` collapses
+    byte-identical texts first (identical text ⟹ identical simhash ⟹
+    hamming 0 ≤ any max_hamming — semantics-preserving, see
+    minhash_lsh_dedup)."""
 
+    if pre_exact:
+        ds = exact_dedup(ds, text_col=text_col, id_col=id_col)
     num_buckets = 64
 
     def sign(t: pa.Table) -> pa.Table:
