@@ -408,3 +408,33 @@ def test_video_features_bad_payload_is_row_error():
     out = VideoFrames(fake=False)(t).to_pandas()
     assert list(out["video_ok"]) == [True, False, False]
     assert out["frame_mean"].isna().tolist() == [False, True, True]
+
+
+def test_pre_exact_pass_preserves_survivors(ray_session):
+    """The exact-dedup pre-pass must be invisible in the result: survivor
+    sets with pre_exact True/False are identical on a corpus mixing exact
+    dups, near dups, and a cross-copy bridge (near-dup reachable only
+    through an exact copy)."""
+    import ray.data as rd
+
+    from wrangler_ray.ops.dedup import minhash_lsh_dedup, simhash_dedup
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "a completely different document about streaming dataflow engines",
+        "arrow record batches move through the object store with backpressure",
+    ]
+    texts, ids = [], []
+    i = 0
+    for t in base:
+        for _ in range(4):          # exact copies
+            texts.append(t); ids.append(i); i += 1
+        texts.append(t + "!")        # near dup bridging via the copies
+        ids.append(i); i += 1
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": texts})).repartition(3)
+    for fn, kw in ((minhash_lsh_dedup, {"jaccard_threshold": 0.7}),
+                   (simhash_dedup, {"max_hamming": 3})):
+        with_pre = sorted(fn(ds, pre_exact=True, **kw).to_pandas()["doc_id"])
+        without = sorted(fn(ds, pre_exact=False, **kw).to_pandas()["doc_id"])
+        assert with_pre == without, fn.__name__
