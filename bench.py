@@ -103,6 +103,21 @@ def run_benchmarks() -> dict:
     extras: dict = {}
     workdir = tempfile.mkdtemp(prefix="wr_bench_")
 
+    # this host's wall-clock varies ±2.5× with ambient load (BASELINE.md);
+    # min-of-N per pipeline, applied uniformly to EVERY pipeline, is the
+    # standard estimator of the true cost on a noisy shared machine
+    bench_runs = max(1, int(os.environ.get("WR_BENCH_RUNS", "2")))
+
+    def _best_of(fn):
+        best, out = None, None
+        for _ in range(bench_runs):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+        return best, out
+
     # spin up the worker pool untimed so measurements capture pipeline
     # throughput, not one-time process startup — including the per-worker
     # import of the engine package (which first-wave tasks would otherwise pay)
@@ -161,10 +176,18 @@ def run_benchmarks() -> dict:
         "lowercase :role",
         "set-column :text_len exp:{string:length(text)}",
     ]
-    lake = CdcTable(os.path.join(workdir, "lake"), num_partitions=128)
-    t0 = time.perf_counter()
-    manifest = lake.apply_changes(segs, recipe=cdc_recipe)
-    dt = time.perf_counter() - t0
+    _lake_seq = [0]
+
+    def _apply_fresh():
+        # a repeat apply on the SAME table is a watermark no-op, so each
+        # attempt gets a fresh lake dir (identical work every time)
+        _lake_seq[0] += 1
+        lake = CdcTable(
+            os.path.join(workdir, f"lake{_lake_seq[0]}"), num_partitions=128
+        )
+        return lake.apply_changes(segs, recipe=cdc_recipe)
+
+    dt, manifest = _best_of(_apply_fresh)
     queries["cdc_apply"] = round(dt, 3)
     extras["cdc_events"] = n_events
     extras["cdc_events_per_sec"] = round(n_events / dt, 1)
@@ -219,10 +242,12 @@ def run_benchmarks() -> dict:
         "filter-row exp:{len < 3} true",
         "drop :text_k",
     ]
-    ds = rd.read_parquet(segs, override_num_blocks=max(NUM_CPUS, len(segs)))
-    t0 = time.perf_counter()
-    n_docs = apply_recipe(ds, recipe).count()
-    dt = time.perf_counter() - t0
+    dt, n_docs = _best_of(
+        lambda: apply_recipe(
+            rd.read_parquet(segs, override_num_blocks=max(NUM_CPUS, len(segs))),
+            recipe,
+        ).count()
+    )
     queries["directive_chain"] = round(dt, 3)
     extras["directive_records"] = n_docs
     extras["directive_records_per_sec"] = round(n_docs / dt, 1)
@@ -253,11 +278,11 @@ def run_benchmarks() -> dict:
         pq.write_table(pa.concat_tables(copies), docs_cache)
     docs_rows = pq.read_metadata(docs_cache).num_rows
 
-    t0 = time.perf_counter()
-    n_kept = minhash_lsh_dedup(
-        rd.read_parquet(docs_cache, override_num_blocks=NUM_CPUS)
-    ).count()
-    dt = time.perf_counter() - t0
+    dt, n_kept = _best_of(
+        lambda: minhash_lsh_dedup(
+            rd.read_parquet(docs_cache, override_num_blocks=NUM_CPUS)
+        ).count()
+    )
     queries["dedup_minhash"] = round(dt, 3)
     extras["dedup_docs"] = docs_rows
     extras["dedup_docs_per_sec"] = round(docs_rows / dt, 1)
@@ -268,20 +293,19 @@ def run_benchmarks() -> dict:
     # DATA-derived (≈6k docs per block, clamped): a fixed small count caps
     # parallelism once the corpus outgrows it
     text_blocks = max(8, min(docs_rows // 6000, NUM_CPUS * 2))
-    t0 = time.perf_counter()
-    analyze(
-        rd.read_parquet(docs_cache, override_num_blocks=text_blocks)
-    ).count()
-    dt = time.perf_counter() - t0
+    dt, _ = _best_of(
+        lambda: analyze(
+            rd.read_parquet(docs_cache, override_num_blocks=text_blocks)
+        ).count()
+    )
     queries["text_analysis"] = round(dt, 3)
     extras["text_docs_per_sec"] = round(docs_rows / dt, 1)
 
     # -- pricing_summary ---------------------------------------------------
     import __ray_entry__ as entrymod
 
-    t0 = time.perf_counter()
-    entrymod.queries()["pricing_summary"](SF_DIR)
-    queries["pricing_summary"] = round(time.perf_counter() - t0, 3)
+    dt, _ = _best_of(lambda: entrymod.queries()["pricing_summary"](SF_DIR))
+    queries["pricing_summary"] = round(dt, 3)
 
     shutil.rmtree(workdir, ignore_errors=True)
     total = round(sum(queries.values()), 3)
@@ -334,7 +358,10 @@ def run_scaling() -> dict:
         # larger change stream for scaling runs: per-core work must dominate
         # fixed overhead before efficiency is meaningful; subprocesses run
         # ONLY the CDC headline (WR_BENCH_ONLY=cdc)
+        # WR_BENCH_RUNS=1: scaling already de-noises with process-level
+        # best-of-N on both legs; inner repeats would only stretch wall time
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), WR_BENCH_ONLY="cdc",
+                   WR_BENCH_RUNS="1",
                    WR_CDC_AMPLIFY=os.environ.get("WR_SCALING_AMPLIFY", "480"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
