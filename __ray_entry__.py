@@ -1205,6 +1205,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             t, {"q_punct_ratio": 6, "q_stop_ratio": 6, "q_mean_wordlen": 6}
         )
 
+    def quality_filter_docs(sf_dir):
+        # Gopher-style quality gate: the kept doc_ids must equal the SQL
+        # re-derivation of every rule (word count, mean word length, punct
+        # ratio, stopword ratio) over the same vectorized metrics that
+        # text_analysis_sql_invariant already certifies to 1e-6
+        from wrangler_ray.ops.text import quality_filter
+
+        out = quality_filter(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            min_words=5, max_punct_ratio=0.3, min_stop_ratio=0.02,
+        )
+        t = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+        return t.select(["doc_id"])
+
     def source_csv_roundtrip(sf_dir):
         # sources surface: write nation as CSV, read it back with the
         # sniffing reader — result must equal the parquet table
@@ -1367,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_reservoir_invariant": sample_reservoir_invariant,
         "dedup_embedding_invariant": dedup_embedding_invariant,
         "text_analysis_sql_invariant": text_analysis_sql_invariant,
+        "quality_filter_docs": quality_filter_docs,
         "source_csv_roundtrip": source_csv_roundtrip,
         "similarity_lsh_exhaustive_invariant": similarity_lsh_exhaustive_invariant,
         "similarity_ivf_exhaustive_invariant": similarity_ivf_exhaustive_invariant,
@@ -1914,6 +1929,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_csv_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "quality_filter_docs": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS s,
+                       regexp_extract_all(coalesce(text, ''), '[A-Za-z'']+') AS words
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(words) AS n_words,
+                       len(regexp_extract_all(s, '[^\w\s]'))
+                           / greatest(length(s), 1) AS punct_ratio,
+                       len(list_filter(words, w -> lower(w) IN (
+                           'the','and','of','a','to','in','is','it','that','for',
+                           'on','as','with','was','at','by','an','be','this','are')))
+                           / greatest(len(words), 1) AS stop_ratio,
+                       CASE WHEN len(words) > 0
+                            THEN CAST(len(regexp_extract_all(s, '[A-Za-z'']')) AS DOUBLE)
+                                 / len(words) ELSE 0 END AS mean_wl
+                FROM t
+            )
+            SELECT doc_id FROM m
+            WHERE n_words BETWEEN 5 AND 100000
+              AND mean_wl BETWEEN 3.0 AND 10.0
+              AND punct_ratio <= 0.3
+              AND stop_ratio >= 0.02
         """,
         "similarity_lsh_exhaustive_invariant": """
             WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))

@@ -438,3 +438,26 @@ def test_pre_exact_pass_preserves_survivors(ray_session):
         with_pre = sorted(fn(ds, pre_exact=True, **kw).to_pandas()["doc_id"])
         without = sorted(fn(ds, pre_exact=False, **kw).to_pandas()["doc_id"])
         assert with_pre == without, fn.__name__
+
+
+def test_quality_filter_rules(ray_session):
+    """quality_filter keeps exactly the rows passing every Gopher-style gate."""
+    import ray.data as rd
+
+    from wrangler_ray.ops.text import quality_filter
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and it was a good day",  # passes
+        "a b",                                     # too few words
+        "!!! ??? ### $$$ %%% ^^^ &&& *** ((()))",  # punct ratio + no stopwords
+        "zzzzzzzzzzzz qqqqqqqqqqqq xxxxxxxxxxxx wwwwwwwwwwww vvvvvvvvvvvv",  # mean wordlen too high, no stopwords
+        None,                                      # null → empty → dropped
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    kept = sorted(quality_filter(ds, min_words=5).to_pandas()["doc_id"])
+    assert kept == [0]
+    # output schema is the input schema — a pure filter adds no columns
+    assert set(quality_filter(ds).schema().names) == {"doc_id", "text"}

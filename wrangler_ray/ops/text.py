@@ -328,3 +328,71 @@ def quality(ds, text_col: str = "text"):
         functools.partial(_stage_batch, cls=QualityScore, text_col=text_col),
         batch_format="pandas", batch_size=None,
     )
+
+
+def _quality_filter_batch(
+    batch: pd.DataFrame,
+    text_col: str,
+    min_words: int,
+    max_words: int,
+    min_mean_wordlen: float,
+    max_mean_wordlen: float,
+    max_punct_ratio: float,
+    min_stop_ratio: float,
+) -> pd.DataFrame:
+    qs = _STAGES.get(("QualityScore", text_col))
+    if qs is None:
+        qs = _STAGES[("QualityScore", text_col)] = QualityScore(text_col)
+    s = batch[text_col].fillna("")
+    length = s.str.len()
+    n_words = s.str.count(qs.word_re)
+    punct = s.str.count(qs.punct_re) / length.clip(lower=1)
+    stop_ratio = s.str.count(qs.stop_re) / n_words.clip(lower=1)
+    word_chars = s.str.count(qs.wordchar_re)
+    mean_wl = (word_chars / n_words.clip(lower=1)).where(n_words > 0, 0.0)
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_wordlen)
+        & (mean_wl <= max_mean_wordlen)
+        & (punct <= max_punct_ratio)
+        & (stop_ratio >= min_stop_ratio)
+    )
+    return batch[keep]
+
+
+def quality_filter(
+    ds,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_wordlen: float = 3.0,
+    max_mean_wordlen: float = 10.0,
+    max_punct_ratio: float = 0.3,
+    min_stop_ratio: float = 0.02,
+):
+    """Gopher-style document quality gate (rules published in Rae et al.,
+    "Scaling Language Models: ... Gopher", arXiv:2112.11446 §A1.1): keep
+    only documents passing ALL closed-form thresholds — word count in
+    [min_words, max_words], mean word length in [min_mean_wordlen,
+    max_mean_wordlen], punctuation-to-char ratio ≤ max_punct_ratio, and
+    stopword-token ratio ≥ min_stop_ratio. One fused vectorized
+    ``map_batches`` pass reusing the QualityScore kernels; rows that fail are
+    dropped and NO metric columns are added (pure filter — compose with
+    ``analyze()`` when the metrics should survive)."""
+    import functools
+
+    return ds.map_batches(
+        functools.partial(
+            _quality_filter_batch,
+            text_col=text_col,
+            min_words=min_words,
+            max_words=max_words,
+            min_mean_wordlen=min_mean_wordlen,
+            max_mean_wordlen=max_mean_wordlen,
+            max_punct_ratio=max_punct_ratio,
+            min_stop_ratio=min_stop_ratio,
+        ),
+        batch_format="pandas",
+        batch_size=None,
+    )
