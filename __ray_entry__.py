@@ -1145,6 +1145,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents"), jaccard_threshold=1.0, shingle_k=50
         )
 
+    def dedup_index_incremental_invariant(sf_dir):
+        # persisted incremental dedup ≡ batch dedup: split documents into two
+        # id-ordered increments, run them through a fresh MinHashDedupIndex
+        # at the degenerate threshold 1.0 / shingle_k=50 (same parameters as
+        # dedup_lsh_exact_invariant, whose SQL oracle this reuses) — the
+        # union of increment survivors must be min-id per normalized text
+        from wrangler_ray.ops.dedup_index import MinHashDedupIndex
+
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        ids = docs.column("doc_id").to_numpy()
+        mid = int(np.median(ids))
+        idx = MinHashDedupIndex(
+            tempfile.mkdtemp(prefix="wr_dedup_idx_"),
+            num_perm=128, bands=32, shingle_k=50, jaccard_threshold=1.0,
+        )
+        import ray.data as rd
+
+        parts = []
+        for keep in (ids <= mid, ids > mid):
+            inc = rd.from_arrow(docs.filter(pa.array(keep))).repartition(4)
+            out = idx.dedup_increment(inc)
+            parts.append(
+                pa.concat_tables(
+                    out.iter_batches(batch_size=None, batch_format="pyarrow")
+                )
+            )
+        return pa.concat_tables(parts).select(
+            ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+
     def similarity_lsh_exhaustive_invariant(sf_dir):
         # degenerate LSH: num_planes=0 → one bucket → nothing pruned → the
         # approximate path must return EXACTLY the brute-force (SQL) top-k
@@ -1377,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parser_mega3_events": parser_mega3_events,
         "validate_standard_events": validate_standard_events,
         "dedup_lsh_exact_invariant": dedup_lsh_exact_invariant,
+        "dedup_index_incremental_invariant": dedup_index_incremental_invariant,
         "dedup_simhash_invariant": dedup_simhash_invariant,
         "sample_reservoir_invariant": sample_reservoir_invariant,
         "dedup_embedding_invariant": dedup_embedding_invariant,
@@ -1860,6 +1891,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50
         """,
         "dedup_lsh_exact_invariant": """
+            WITH keyed AS (
+                SELECT *, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k
+                FROM documents
+            )
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM keyed d
+            JOIN (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY k) reps
+              ON d.doc_id = reps.doc_id
+        """,
+        "dedup_index_incremental_invariant": """
             WITH keyed AS (
                 SELECT *, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k
                 FROM documents

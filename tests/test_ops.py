@@ -461,3 +461,61 @@ def test_quality_filter_rules(ray_session):
     assert kept == [0]
     # output schema is the input schema — a pure filter adds no columns
     assert set(quality_filter(ds).schema().names) == {"doc_id", "text"}
+
+
+def test_minhash_index_incremental_equals_batch(ray_session, tmp_path):
+    """Incremental dedup through a persisted MinHashDedupIndex over two
+    id-ordered increments keeps exactly the batch survivors of the
+    concatenated corpus, without re-signing the indexed half; a third,
+    all-duplicate increment keeps nothing."""
+    import ray.data as rd
+
+    from wrangler_ray.ops.dedup import minhash_lsh_dedup
+    from wrangler_ray.ops.dedup_index import MinHashDedupIndex
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away",
+        "a completely different document about streaming dataflow engines",
+        "arrow record batches move through the object store with backpressure",
+        "yet another unrelated piece of text mentioning lakehouse manifests",
+    ]
+    texts, ids = [], []
+    i = 0
+    for t in base:
+        for suffix in ("", "", "!", " indeed"):   # exact + near dups
+            texts.append(t + suffix); ids.append(i); i += 1
+
+    def mk(lo, hi):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids[lo:hi], pa.int64()),
+            "text": pa.array(texts[lo:hi], pa.string()),
+        })).repartition(2)
+
+    batch = sorted(
+        minhash_lsh_dedup(mk(0, len(ids)), jaccard_threshold=0.7)
+        .to_pandas()["doc_id"]
+    )
+
+    idx = MinHashDedupIndex(str(tmp_path / "idx"), jaccard_threshold=0.7)
+    half = len(ids) // 2
+    kept1 = sorted(idx.dedup_increment(mk(0, half)).to_pandas()["doc_id"])
+    kept2 = sorted(idx.dedup_increment(mk(half, len(ids))).to_pandas()["doc_id"])
+    assert sorted(kept1 + kept2) == batch
+    assert idx.count == len(batch)
+    assert idx.watermark == max(kept1 + kept2)
+
+    # an increment made ENTIRELY of near-dups of indexed docs keeps nothing
+    dup_ids = [i + j for j in range(len(base))]
+    dup_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(dup_ids, pa.int64()),
+        "text": pa.array([t + "?" for t in base], pa.string()),
+    }))
+    assert idx.dedup_increment(dup_ds).count() == 0
+    # non-monotone ids are refused
+    with pytest.raises(ValueError, match="watermark"):
+        idx.dedup_increment(mk(0, half))
+    # a fresh handle on the same dir resumes from the committed meta
+    idx2 = MinHashDedupIndex(str(tmp_path / "idx"), jaccard_threshold=0.7)
+    assert idx2.count == len(batch) and idx2.watermark == idx.watermark
+    with pytest.raises(ValueError, match="not comparable"):
+        MinHashDedupIndex(str(tmp_path / "idx"), num_perm=128)

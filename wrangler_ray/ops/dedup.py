@@ -352,6 +352,7 @@ def minhash_lsh_dedup(
     max_driver_edges: int = 4_000_000,
     pair_cap: int = 256,
     pre_exact: bool = True,
+    indexed: tuple | None = None,
 ):
     """MinHash+LSH near-dup removal: shingle→minhash→band→bucket groupby→
     candidate pairs→verify Jaccard→connected components→keep min-id per
@@ -371,6 +372,16 @@ def minhash_lsh_dedup(
     over all edges at once, signatures only, ~num_perm·8 bytes per doc on the
     driver); only edges within ``±exact_margin`` of the threshold fall back
     to TRUE shingle-set Jaccard, for which only those few texts are fetched.
+
+    ``indexed=(texts_ds, signed_ds)`` unions an already-deduped,
+    already-SIGNED corpus into the candidate space without re-signing it:
+    ``signed_ds`` rows are (id, sig, dig) produced by a previous run with
+    the same (num_perm, bands, shingle_k); ``texts_ds`` provides (id, text)
+    for borderline exact verification only (column-pruned, touched only for
+    the few borderline candidates). Incoming ids must exceed every indexed
+    id so cluster minima always land on the indexed side ("old doc wins") —
+    enforced by MinHashDedupIndex, the intended caller. The returned Dataset
+    filters ``ds`` only, so indexed docs never reappear in the output.
 
     ``distributed=True`` switches to the no-driver-state path for corpora
     whose candidate-edge set exceeds driver memory: edges stay a Dataset,
@@ -422,6 +433,13 @@ def minhash_lsh_dedup(
 
     # signatures computed ONCE, kept distributed; band keys derive from them
     signed = ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    text_source = ds
+    if indexed is not None:
+        idx_texts, idx_signed = indexed
+        signed = signed.union(idx_signed)
+        text_source = ds.select_columns([id_col, text_col]).union(
+            idx_texts.select_columns([id_col, text_col])
+        )
 
     def band_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -635,7 +653,9 @@ def minhash_lsh_dedup(
                 )
 
             sh_tab = pa.concat_tables(
-                ds.map_batches(collect_texts, batch_format="pyarrow", zero_copy_batch=True)
+                text_source.map_batches(
+                    collect_texts, batch_format="pyarrow", zero_copy_batch=True
+                )
                 .map_batches(shingle_rows, batch_format="pyarrow")
                 .iter_batches(batch_size=None, batch_format="pyarrow")
             )
