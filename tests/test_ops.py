@@ -1,5 +1,7 @@
 """Training-data ops: dedup, similarity, text analysis, multimodal plumbing."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -519,3 +521,33 @@ def test_minhash_index_incremental_equals_batch(ray_session, tmp_path):
     assert idx2.count == len(batch) and idx2.watermark == idx.watermark
     with pytest.raises(ValueError, match="not comparable"):
         MinHashDedupIndex(str(tmp_path / "idx"), num_perm=128)
+
+
+def test_minhash_index_crashed_increment_rerun(ray_session, tmp_path):
+    """Orphan files from an increment that crashed before its meta commit
+    must be replaced, not appended, when the increment re-runs."""
+    import ray.data as rd
+
+    from wrangler_ray.ops.dedup_index import MinHashDedupIndex
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["some first document about engines",
+                 "a second unrelated document about lakes"],
+    }))
+    work = str(tmp_path / "idx")
+    idx = MinHashDedupIndex(work)
+    # simulate the crash: files written for incr-000000 but meta never moved
+    orphan = os.path.join(work, "texts", "incr-000000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "wb") as f:
+        f.write(b"not a real parquet file")
+    kept = idx.dedup_increment(ds)
+    assert kept.count() == 2
+    # the orphan was cleared — the committed increment reads cleanly
+    idx2 = MinHashDedupIndex(work)
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([3], pa.int64()),
+        "text": ["some first document about engines"],  # exact dup of 1
+    }))
+    assert idx2.dedup_increment(ds2).count() == 0

@@ -177,6 +177,16 @@ class MinHashDedupIndex:
                 }
             )
 
+        # a crashed previous attempt at THIS increment leaves orphan files in
+        # the uncommitted incr-k dirs; clear them so the re-run replaces
+        # rather than appends (write_parquet generates fresh file names)
+        import shutil
+
+        for kind in ("texts", "signatures"):
+            leftover = os.path.join(self.index_dir, kind, f"incr-{k:06d}")
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
+
         texts_only = out.select_columns([id_col, text_col])
         texts_only.write_parquet(
             os.path.join(self.index_dir, "texts", f"incr-{k:06d}")
