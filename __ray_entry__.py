@@ -1175,6 +1175,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "text", "lang", "source", "n_chars"]
         )
 
+    def similarity_ivf_index_invariant(sf_dir):
+        # the PERSISTED IVF index at nprobe=all cells reads every cell back
+        # from its partitioned parquet layout and must return exactly the
+        # brute-force (SQL) top-k — certifies build, the partitioned write,
+        # the pruned read, and the distributed top-k merge in one pass
+        from wrangler_ray.ops.ann_index import IvfIndex
+
+        emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        q = np.asarray(emb.column("embedding").to_pylist()[0], np.float32)[None, :]
+        idx = IvfIndex(tempfile.mkdtemp(prefix="wr_ivf_idx_"))
+        idx.build(_read(sf_dir, "embeddings"), num_clusters=8, seed=3)
+        out = idx.query(q, k=5, nprobe=8)
+        return _round_cols(out.drop_columns(["query_idx"]), {"score": 3})
+
     def similarity_lsh_exhaustive_invariant(sf_dir):
         # degenerate LSH: num_planes=0 → one bucket → nothing pruned → the
         # approximate path must return EXACTLY the brute-force (SQL) top-k
@@ -1414,6 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis_sql_invariant": text_analysis_sql_invariant,
         "quality_filter_docs": quality_filter_docs,
         "source_csv_roundtrip": source_csv_roundtrip,
+        "similarity_ivf_index_invariant": similarity_ivf_index_invariant,
         "similarity_lsh_exhaustive_invariant": similarity_lsh_exhaustive_invariant,
         "similarity_ivf_exhaustive_invariant": similarity_ivf_exhaustive_invariant,
     }
@@ -1999,6 +2014,14 @@ def oracle_sql() -> dict[str, str]:
               AND stop_ratio >= 0.02
         """,
         "similarity_lsh_exhaustive_invariant": """
+            WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding, (SELECT e FROM q)), 3) AS score
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC, vec_id
+            LIMIT 5
+        """,
+        "similarity_ivf_index_invariant": """
             WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
             SELECT vec_id,
                    round(list_cosine_similarity(embedding, (SELECT e FROM q)), 3) AS score

@@ -551,3 +551,52 @@ def test_minhash_index_crashed_increment_rerun(ray_session, tmp_path):
         "text": ["some first document about engines"],  # exact dup of 1
     }))
     assert idx2.dedup_increment(ds2).count() == 0
+
+
+def test_ivf_index_build_query_append(ray_session, tmp_path):
+    """Persisted IVF index: nprobe=all cells is exact (== numpy brute force),
+    nprobe=1 reads only probed cell dirs, append without retrain is seen by
+    subsequent queries, and a reopened handle serves from disk alone."""
+    import ray.data as rd
+
+    from wrangler_ray.ops.ann_index import IvfIndex
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(300, 16).astype(np.float32)
+
+    def mk(lo, hi):
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(lo, hi), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs[lo:hi]], pa.list_(pa.float32())
+            ),
+        })).repartition(3)
+
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    info = idx.build(mk(0, 250), num_clusters=8, seed=3)
+    assert info["count"] == 250
+
+    q = vecs[:2]
+    got = idx.query(q, k=5, nprobe=8).to_pandas()  # all cells → exact
+    qa = q / np.linalg.norm(q, axis=1, keepdims=True)
+    va = vecs[:250] / np.linalg.norm(vecs[:250], axis=1, keepdims=True)
+    sims = qa @ va.T
+    for qi in range(2):
+        assert set(got[got["query_idx"] == qi]["vec_id"]) == set(
+            np.argsort(-sims[qi])[:5]
+        )
+
+    # nprobe=1 must still find the (barely perturbed) vector's own cell
+    near = vecs[5] + rng.randn(16).astype(np.float32) * 1e-3
+    hit = idx.query(near, k=1, nprobe=1).to_pandas()
+    assert hit["vec_id"].tolist() == [5]
+
+    # append the remaining 50 vectors; a reopened handle must see them
+    assert idx.append(mk(250, 300)) == 50
+    idx2 = IvfIndex(str(tmp_path / "ivf"))
+    assert idx2.meta["count"] == 300
+    near2 = vecs[299] + rng.randn(16).astype(np.float32) * 1e-3
+    assert idx2.query(near2, k=1, nprobe=8).to_pandas()["vec_id"].tolist() == [299]
+
+    with pytest.raises(ValueError, match="already built"):
+        idx2.build(mk(0, 10))

@@ -3,6 +3,7 @@ deduplication, similarity search, text analysis, multimodal plumbing.
 All Dataset → Dataset, shuffle-conscious, vectorized per batch."""
 
 from wrangler_ray.ops import dedup  # noqa: F401
+from wrangler_ray.ops import ann_index  # noqa: F401
 from wrangler_ray.ops import dedup_index  # noqa: F401
 from wrangler_ray.ops import joins  # noqa: F401
 from wrangler_ray.ops import profile  # noqa: F401
