@@ -552,3 +552,29 @@ def test_cdc_tail_job_entrypoint(tmp_path, stream, ray_session, capsys):
     assert lines2[-1]["events_consumed"] == 0
     # the shared session must survive
     assert ray.is_initialized()
+
+
+def test_schema_promotion_and_fallback():
+    """unified_schema promotes numerically (int32+float64 → float64) and
+    falls back to string on truly incompatible re-types; unify_to_schema
+    casts and null-backfills to the target."""
+    import pyarrow as pa
+
+    from wrangler_ray.core.schema import unified_schema, unify_to_schema
+
+    s_int = pa.schema([("k", pa.int32()), ("v", pa.int32())])
+    s_dbl = pa.schema([("k", pa.int32()), ("v", pa.float64()), ("extra", pa.string())])
+    u = unified_schema([s_int, s_dbl])
+    assert u.field("v").type == pa.float64()
+    assert u.field("extra").type == pa.string()
+
+    t = pa.table({"k": pa.array([1, 2], pa.int32()), "v": pa.array([10, 20], pa.int32())})
+    out = unify_to_schema(t, u)
+    assert out.column("v").type == pa.float64()
+    assert out.column("v").to_pylist() == [10.0, 20.0]
+    assert out.column("extra").null_count == 2
+
+    # struct-vs-int cannot promote — the fallback re-types the field as string
+    s_weird = pa.schema([("v", pa.struct([("a", pa.int8())]))])
+    u2 = unified_schema([s_int, s_weird])
+    assert u2.field("v").type == pa.string()
