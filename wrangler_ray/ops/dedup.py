@@ -377,8 +377,10 @@ def minhash_lsh_dedup(
     already-SIGNED corpus into the candidate space without re-signing it:
     ``signed_ds`` rows are (id, sig, dig) produced by a previous run with
     the same (num_perm, bands, shingle_k); ``texts_ds`` provides (id, text)
-    for borderline exact verification only (column-pruned, touched only for
-    the few borderline candidates). Incoming ids must exceed every indexed
+    for borderline exact verification only — either a Dataset, or a
+    callable(candidate_ids) -> Dataset so the caller can push the id filter
+    into the parquet read (row-group pruning) instead of scanning every
+    historical text block. Incoming ids must exceed every indexed
     id so cluster minima always land on the indexed side ("old doc wins") —
     enforced by MinHashDedupIndex, the intended caller. The returned Dataset
     filters ``ds`` only, so indexed docs never reappear in the output.
@@ -433,13 +435,23 @@ def minhash_lsh_dedup(
 
     # signatures computed ONCE, kept distributed; band keys derive from them
     signed = ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True).materialize()
-    text_source = ds
+    # text_source is only consumed for BORDERLINE exact verification; it is a
+    # zero-arg Dataset or a callable(ids)->Dataset — a callable lets the
+    # caller push the candidate-id filter into the parquet read (row-group
+    # stats pruning) instead of scanning every historical text block
+    text_source = lambda _ids: ds  # noqa: E731
     if indexed is not None:
         idx_texts, idx_signed = indexed
         signed = signed.union(idx_signed)
-        text_source = ds.select_columns([id_col, text_col]).union(
-            idx_texts.select_columns([id_col, text_col])
-        )
+        if callable(idx_texts):
+            text_source = lambda ids: ds.select_columns(  # noqa: E731
+                [id_col, text_col]
+            ).union(idx_texts(ids))
+        else:
+            _union = ds.select_columns([id_col, text_col]).union(
+                idx_texts.select_columns([id_col, text_col])
+            )
+            text_source = lambda _ids: _union  # noqa: E731
 
     def band_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -653,7 +665,8 @@ def minhash_lsh_dedup(
                 )
 
             sh_tab = pa.concat_tables(
-                text_source.map_batches(
+                text_source(bl)
+                .map_batches(
                     collect_texts, batch_format="pyarrow", zero_copy_batch=True
                 )
                 .map_batches(shingle_rows, batch_format="pyarrow")

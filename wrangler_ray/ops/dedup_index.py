@@ -132,7 +132,18 @@ class MinHashDedupIndex:
         text_dirs = self._incr_dirs("texts")
         indexed = None
         if sig_dirs:
-            indexed = (rd.read_parquet(text_dirs), rd.read_parquet(sig_dirs))
+            import pyarrow.dataset as pads
+
+            def texts_for(ids):
+                # borderline-candidate fetch with the id filter pushed into
+                # the parquet read: increments are id-monotone, so each
+                # file's row-group id stats are tight and non-matching
+                # files/row-groups prune instead of scanning the whole
+                # historical text corpus
+                flt = pads.field(id_col).isin(pa.array(np.asarray(ids)))
+                return rd.read_parquet(text_dirs, filter=flt)
+
+            indexed = (texts_for, rd.read_parquet(sig_dirs))
         out = minhash_lsh_dedup(
             ds,
             text_col=text_col,
