@@ -940,11 +940,57 @@ def embedding_dedup(
     dim: int | None = None,
     distributed: bool = False,
     max_driver_edges: int = 4_000_000,
+    pre_exact: bool = True,
 ):
     """Embedding near-dup: random-hyperplane LSH bucket → within-bucket exact
     cosine → union-find → keep min-id. ``num_planes`` sign bits per vector;
-    exact cosine verification happens only within buckets."""
+    exact cosine verification happens only within buckets.
+
+    ``pre_exact`` collapses BYTE-identical vectors first (keep min id per
+    distinct vector): an identical vector has cosine 1.0 ≥ any threshold
+    with its copy and identical LSH bits, so every copy always lands in its
+    original's cluster carrying the group-min id — semantics-preserving at
+    the vector level (no assumption about the texts behind the vectors),
+    same argument as the text pre-pass in minhash_lsh_dedup."""
     import ray
+
+    if pre_exact:
+
+        def add_vec_key(t: pa.Table) -> pa.Table:
+            # two independent 64-bit digests of the raw bytes, fully
+            # vectorized (one hash pass over the flattened element view, then
+            # an unweighted and a position-weighted fold): distinct vectors
+            # collide on BOTH with probability ~2^-128 — treat as identity
+            from wrangler_ray.ops.similarity import vecs_np
+
+            raw = vecs_np(t.column(vec_col))
+            n, d = raw.shape
+            eh = (
+                pd.util.hash_array(raw.view(np.uint32).ravel(), categorize=False)
+                .astype(np.uint64)
+                .reshape(n, d)
+            )
+            w = (np.arange(d, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+            with np.errstate(over="ignore"):
+                h1 = eh.sum(axis=1, dtype=np.uint64)
+                h2 = (eh * w[None, :]).sum(axis=1, dtype=np.uint64)
+            t = t.append_column("_vh1", pa.array(h1.astype(np.int64)))
+            t = t.append_column("_vh2", pa.array(h2.astype(np.int64)))
+            return t.append_column(
+                "_vb", pa.array((h1 % np.uint64(128)).astype(np.int32))
+            )
+
+        def keep_first_vec(g: pa.Table) -> pa.Table:
+            df = g.to_pandas()
+            idx = df.groupby(["_vh1", "_vh2"], sort=False)[id_col].idxmin()
+            return pa.Table.from_pandas(df.loc[idx], preserve_index=False)
+
+        ds = (
+            ds.map_batches(add_vec_key, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_vb")
+            .map_groups(keep_first_vec, batch_format="pyarrow")
+            .drop_columns(["_vh1", "_vh2", "_vb"])
+        )
 
     if dim is None:
         first = ds.take(1)[0]
