@@ -65,9 +65,13 @@ class IvfIndex:
             a = (_normalize(vecs_np(t.column(vec_col))) @ cent.T).argmax(axis=1)
             return t.append_column("c", pa.array(a.astype(np.int32)))
 
-        tagged = ds.map_batches(
-            tag, batch_format="pyarrow", zero_copy_batch=True
-        ).select_columns([id_col, vec_col, "c"])
+        # materialized once: count() and write_parquet() would otherwise each
+        # re-execute the assignment pipeline
+        tagged = (
+            ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .select_columns([id_col, vec_col, "c"])
+            .materialize()
+        )
         n = tagged.count()
         tagged.write_parquet(
             os.path.join(self.index_dir, "cells"),
