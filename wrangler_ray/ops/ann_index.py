@@ -4,16 +4,25 @@ many times, with TRUE partition pruning at query time.
 `ops.similarity.ivf_topk` trains centroids and scans the whole Dataset per
 call — right when the corpus is already in flight, wrong when the same
 corpus serves many query batches. `IvfIndex` persists each inverted cell as
-its own Parquet directory:
+its own Parquet directory, one subdirectory per committed increment:
 
-    index_dir/meta.json            centroids (f32), params, row count
-    index_dir/cells/c=K/*.parquet  (id, vec) rows whose nearest centroid is K
+    index_dir/meta.json                     centroids (f32), params, count, incr
+    index_dir/cells/incr-00000K/c=J/*.parquet  (id, vec) nearest to centroid J
 
 so a query with ``nprobe`` probes READS only the probed cells from storage —
 at a 10^9-vector corpus with 4096 cells and nprobe=16, that is 0.4% of the
 bytes a full scan moves. Appends assign new vectors to the existing
-centroids and append cell files (no retrain; centroid drift is handled by
-``rebuild=True``).
+centroids and add a new increment directory (no retrain; centroid drift is
+handled by ``rebuild=True``).
+
+Crash-rerun safety mirrors `MinHashDedupIndex`: cell files land in an
+increment directory that only becomes visible when the meta commit (atomic
+tmp+rename, LAST step) bumps ``incr`` past it; a build/append that crashed
+mid-write leaves an orphan directory that the re-run deletes and rewrites,
+so re-running can never double-insert vectors into query results.
+
+All storage goes through ``pyarrow.fs`` (``filesystem=`` injectable), so the
+index can live on an object store, not just local disk.
 
 Scoring is exact within probed cells (IVF-flat): cosine via one matmul per
 batch against the broadcast query matrix, merged with the same distributed
@@ -21,12 +30,12 @@ batch against the broadcast query matrix, merged with the same distributed
 """
 from __future__ import annotations
 
-import json
-import os
+import posixpath
 
 import numpy as np
 import pyarrow as pa
 
+from wrangler_ray.ops import fsio
 from wrangler_ray.ops.similarity import (
     _BatchTopK,
     _merge_topk,
@@ -36,28 +45,37 @@ from wrangler_ray.ops.similarity import (
 
 
 class IvfIndex:
-    def __init__(self, index_dir: str):
-        self.index_dir = index_dir
-        self.meta_path = os.path.join(index_dir, "meta.json")
-        self.meta = None
-        if os.path.exists(self.meta_path):
-            with open(self.meta_path) as f:
-                self.meta = json.load(f)
+    def __init__(self, index_dir: str, filesystem=None):
+        self.fs, self.index_dir = fsio.resolve_fs(index_dir, filesystem)
+        self.meta_path = posixpath.join(self.index_dir, "meta.json")
+        self.meta = fsio.read_json(self.fs, self.meta_path)
 
     @property
     def centroids(self) -> np.ndarray:
         return np.asarray(self.meta["centroids"], np.float32)
 
     def _commit_meta(self) -> None:
-        tmp = self.meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.meta, f)
-        os.replace(tmp, self.meta_path)
+        fsio.write_json_atomic(self.fs, self.meta_path, self.meta)
+
+    def _committed_incr_dirs(self) -> list[str]:
+        root = posixpath.join(self.index_dir, "cells")
+        return [
+            posixpath.join(root, d)
+            for d in fsio.list_subdirs(self.fs, root)
+            if d.startswith("incr-") and int(d.split("-")[1]) < self.meta["incr"]
+        ]
 
     def _assign_and_write(self, ds, vec_col: str, id_col: str) -> int:
-        """Assign every vector to its nearest centroid and append one Parquet
-        directory per touched cell (partitioned write = the pruning unit)."""
+        """Assign every vector to its nearest centroid and write one
+        partitioned Parquet tree under the NEXT increment directory (the
+        pruning unit). The caller commits meta afterwards — until then the
+        directory is an invisible orphan, so a crashed attempt re-runs
+        cleanly (we delete any leftover first; write_parquet generates fresh
+        file names, which would otherwise double every vector)."""
         cent = self.centroids
+        k = self.meta["incr"]
+        incr_dir = posixpath.join(self.index_dir, "cells", f"incr-{k:06d}")
+        fsio.delete_dir(self.fs, incr_dir)
 
         def tag(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
@@ -73,10 +91,7 @@ class IvfIndex:
             .materialize()
         )
         n = tagged.count()
-        tagged.write_parquet(
-            os.path.join(self.index_dir, "cells"),
-            partition_cols=["c"],
-        )
+        tagged.write_parquet(incr_dir, partition_cols=["c"], filesystem=self.fs)
         return n
 
     def build(
@@ -112,31 +127,37 @@ class IvfIndex:
                     v = x[m].mean(axis=0)
                     norm = np.linalg.norm(v)
                     cent[c] = v / norm if norm else cent[c]
-        os.makedirs(self.index_dir, exist_ok=True)
+        self.fs.create_dir(self.index_dir, recursive=True)
         self.meta = {
             "centroids": [[float(v) for v in row] for row in cent],
             "vec_col": vec_col,
             "id_col": id_col,
             "count": 0,
+            "incr": 0,
         }
-        self.meta["count"] = self._assign_and_write(ds, vec_col, id_col)
+        n_written = self._assign_and_write(ds, vec_col, id_col)
+        self.meta["count"] = n_written
+        self.meta["incr"] = 1
         self._commit_meta()
         return {"cells": len(cent), "count": self.meta["count"]}
 
     def append(self, ds) -> int:
-        """Assign new vectors to the EXISTING centroids and append cell
-        files. No retrain — run build on a fresh dir when drift matters."""
+        """Assign new vectors to the EXISTING centroids and write them as a
+        new committed increment. No retrain — run build on a fresh dir when
+        drift matters."""
         if self.meta is None:
             raise ValueError("index not built")
         n = self._assign_and_write(ds, self.meta["vec_col"], self.meta["id_col"])
         self.meta["count"] += n
+        self.meta["incr"] += 1
         self._commit_meta()
         return n
 
     def query(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pa.Table:
         """Exact cosine top-k within the probed cells, reading ONLY those
         cells' Parquet from storage (partition pruning — the reason this
-        index exists)."""
+        index exists), and only from COMMITTED increments (orphans from a
+        crashed write are invisible)."""
         import ray
         import ray.data as rd
 
@@ -148,24 +169,23 @@ class IvfIndex:
         cent = self.centroids
         probes = np.argsort(-(_normalize(queries) @ cent.T), axis=1)[:, :nprobe]
         cells = np.unique(probes.ravel())
-        import glob
-
-        dirs = []
-        for c in cells:
-            dirs.extend(
-                sorted(
-                    glob.glob(
-                        os.path.join(self.index_dir, "cells", f"c={c}", "*.parquet")
-                    )
+        files = []
+        for incr_dir in self._committed_incr_dirs():
+            for c in cells:
+                files.extend(
+                    fsio.list_parquet(self.fs, posixpath.join(incr_dir, f"c={c}"))
                 )
-            )
-        if not dirs:
+        if not files:
             return pa.table(
                 {"query_idx": pa.array([], pa.int64()),
                  self.meta["id_col"]: pa.array([], pa.int64()),
                  "score": pa.array([], pa.float32())}
             )
-        ds = rd.read_parquet(dirs, columns=[self.meta["id_col"], self.meta["vec_col"]])
+        ds = rd.read_parquet(
+            files,
+            columns=[self.meta["id_col"], self.meta["vec_col"]],
+            filesystem=self.fs,
+        )
         qref = ray.put(queries)
         partials = ds.map_batches(
             _BatchTopK(qref, k, self.meta["vec_col"], self.meta["id_col"]),

@@ -50,17 +50,43 @@ def _encode(value, schema, out: bytearray) -> None:
         else:
             raise ValueError(f"unknown avro type {t!r}")
         return
-    if isinstance(schema, list):  # union: pick the first matching branch
-        for i, branch in enumerate(schema):
+    if isinstance(schema, list):  # union: pick the branch matching the VALUE
+        # TYPE — blindly taking the first non-null branch silently coerces
+        # (e.g. an int encoded via the string branch for ["null","string",
+        # "long"]), producing valid-looking but wrong-typed Avro
+        def _matches(v, branch) -> bool:
             bt = branch if isinstance(branch, str) else branch.get("type")
-            if value is None and bt == "null":
+            if bt == "null":
+                return v is None
+            if v is None:
+                return False
+            if bt == "boolean":
+                return isinstance(v, bool)
+            if bt in ("int", "long"):
+                return isinstance(v, int) and not isinstance(v, bool)
+            if bt in ("float", "double"):
+                # ints are acceptable float/double payloads (Avro promotes)
+                return isinstance(v, (float, int)) and not isinstance(v, bool)
+            if bt in ("string", "enum"):
+                return isinstance(v, str)
+            if bt in ("bytes", "fixed"):
+                return isinstance(v, (bytes, bytearray))
+            if bt in ("record", "error", "map"):
+                return isinstance(v, dict)
+            if bt == "array":
+                return isinstance(v, (list, tuple))
+            return False
+
+        for i, branch in enumerate(schema):
+            if _matches(value, branch):
                 out += _zigzag_long(i)
+                if not (isinstance(branch, str) and branch == "null"):
+                    _encode(value, branch, out)
                 return
-            if value is not None and bt != "null":
-                out += _zigzag_long(i)
-                _encode(value, branch, out)
-                return
-        raise ValueError("no union branch matches value")
+        raise ValueError(
+            f"no union branch in {schema!r} matches value of type "
+            f"{type(value).__name__}"
+        )
     t = schema["type"]
     if t in ("record", "error"):
         for f in schema["fields"]:

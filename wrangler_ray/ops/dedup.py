@@ -49,9 +49,12 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def keep_first(g: pa.Table) -> pa.Table:
         # within one coarse bucket: min id per distinct text (collision-safe);
-        # pyarrow in/out (pandas map_groups output path is slow in Ray 2.49)
+        # dropna=False so null-text rows keep one representative (pandas
+        # drops NaN groups by default — that silently deleted every null-text
+        # row from the dedup output); pyarrow in/out (pandas map_groups
+        # output path is slow in Ray 2.49)
         df = g.to_pandas()
-        idx = df.groupby(text_col, sort=False)[id_col].idxmin()
+        idx = df.groupby(text_col, sort=False, dropna=False)[id_col].idxmin()
         return pa.Table.from_pandas(df.loc[idx], preserve_index=False)
 
     return (
@@ -200,15 +203,61 @@ def _group_all_pairs(df: pd.DataFrame, key_cols: list, id_col: str,
 # logs surface activations; tests read them directly)
 FALLBACK_METRICS = {"oversized_groups": 0, "max_group_size": 0}
 
+# coarse shuffle-bucket count shared by the LSH banding shuffle and the
+# persisted-index read path (both must derive the SAME _bkt from a band row)
+NUM_COARSE_BUCKETS = 64
+
+
+def _coarse_bucket(keys_i64: np.ndarray, bands_i32: np.ndarray) -> np.ndarray:
+    """The coarse shuffle bucket of a band row, derived from its (key, band)
+    — identical for rows banded in-flight and rows read back from a
+    persisted band-partitioned index."""
+    return (
+        (keys_i64.astype(np.uint64) ^ (bands_i32.astype(np.uint64) << np.uint64(56)))
+        % np.uint64(NUM_COARSE_BUCKETS)
+    ).astype(np.int32)
+
+
+def _collect_band_keys(banded, parts: int, max_keys: int):
+    """Driver-side collection of the increment's distinct band keys: returns
+    ``(pbs, keys)`` where ``pbs`` is the distinct persisted-partition set
+    (``key % parts`` — at most ``parts`` values, always tiny) and ``keys`` is
+    the exact distinct-key array for filter pushdown, or None when it exceeds
+    ``max_keys`` (partition-level pruning only). Streams the key column —
+    never the full band table."""
+    chunks: list = []
+    pbs = np.empty(0, np.int64)
+    too_many = False
+    for t in banded.select_columns(["key"]).iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        k = np.unique(t.column("key").to_numpy(zero_copy_only=False))
+        pbs = np.union1d(pbs, k % parts)
+        if not too_many:
+            chunks.append(k)
+            if sum(len(c) for c in chunks) > max_keys:
+                too_many = True
+                chunks = []
+    keys = None if too_many else (
+        np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+    )
+    return pbs.astype(np.int64), keys
+
 
 def _repair_pairs(hubs: np.ndarray, members: np.ndarray, cap: int = 256) -> tuple:
-    """One repair round for fallback-star edges that failed verification:
-    for each hub, all-pairs among its failed members in chunks of ``cap``
+    """One repair round for fallback stars where ≥1 edge failed verification:
+    for each hub, all-pairs among its star members in chunks of ``cap``
     (bounded edges), plus all-pairs among the chunk leads so chunks stay
-    connected through their leads. Returns (a, b) candidate arrays."""
+    connected through their leads. Callers pass ALL star members of each
+    affected hub (passed AND failed) — a failed member's true duplicate may
+    be a member whose own star edge passed (J(hub,m1)≥t, J(hub,m2)<t,
+    J(m1,m2)≥t), so pairing only the failed members misses it. The hub
+    itself is NOT re-paired: its edges to every member were already verified,
+    so re-pairing it adds zero recall while pushing members across chunk
+    boundaries. Returns (a, b) candidate arrays."""
     out_a, out_b = [], []
     df = pd.DataFrame({"h": hubs, "m": members})
-    for _, grp in df.groupby("h", sort=False):
+    for _h, grp in df.groupby("h", sort=False):
         F = np.unique(grp["m"].to_numpy())
         if len(F) < 2:
             continue
@@ -229,6 +278,23 @@ def _repair_pairs(hubs: np.ndarray, members: np.ndarray, cap: int = 256) -> tupl
         z = np.empty(0, np.int64)
         return z, z
     return np.concatenate(out_a).astype(np.int64), np.concatenate(out_b).astype(np.int64)
+
+
+def _repair_candidates(a_ids: np.ndarray, b_ids: np.ndarray,
+                       fb_mask: np.ndarray, accepted: np.ndarray,
+                       cap: int = 256) -> tuple:
+    """Repair-pair generation shared by the minhash/simhash verification
+    tails: for every hub whose fallback star lost ≥1 edge, re-pair ALL its
+    star members — the passed ones included, because a failed member's true
+    duplicate may be a member whose own star edge passed. Returns (a, b)
+    candidate arrays (empty when no fb edge failed)."""
+    fb_fail = fb_mask & ~accepted
+    if not fb_fail.any():
+        z = np.empty(0, np.int64)
+        return z, z
+    bad_hubs = np.unique(a_ids[fb_fail])
+    sel = fb_mask & np.isin(a_ids, bad_hubs)
+    return _repair_pairs(a_ids[sel], b_ids[sel], cap=cap)
 
 
 def _dedupe_pairs_df(df: pd.DataFrame) -> pd.DataFrame:
@@ -398,8 +464,10 @@ def minhash_lsh_dedup(
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
 
-    num_buckets = 64  # coarse shuffle groups: few enough that one group task
-    # clears the ~15-45ms/task executor overhead (see BASELINE.md task-sizing)
+    num_buckets = NUM_COARSE_BUCKETS  # coarse shuffle groups: few enough that
+    # one group task clears the ~15-45ms/task executor overhead (see
+    # BASELINE.md task-sizing); shared constant so persisted band rows land in
+    # the same buckets when read back
 
     def sign(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pylist()
@@ -484,8 +552,7 @@ def minhash_lsh_dedup(
                 for c in range(chunk.shape[1]):
                     acc = _mix64(acc * K ^ chunk[:, c])
                 keys[b * n : (b + 1) * n] = acc >> np.uint64(1)
-        bkt = ((keys ^ (out_band.astype(np.uint64) << np.uint64(56)))
-               % np.uint64(num_buckets)).astype(np.int32)
+        bkt = _coarse_bucket(keys.astype(np.int64), out_band)
         idx = pa.array(np.tile(np.arange(n, dtype=np.int64), bands))
         return pa.table(
             {
@@ -731,10 +798,9 @@ def minhash_lsh_dedup(
         # group) that FAILED verification would silently disconnect true
         # pairs among its members — re-pair those members all-vs-all
         # (chunk-bounded) and verify the repair edges the same way
-        fb_fail = fb_mask & ~accept
-        if fb_fail.any():
-            rep_a, rep_b = _repair_pairs(a_ids[fb_fail], b_ids[fb_fail],
-                                         cap=pair_cap)
+        if (fb_mask & ~accept).any():
+            rep_a, rep_b = _repair_candidates(a_ids, b_ids, fb_mask, accept,
+                                              cap=pair_cap)
             if len(rep_a):
                 rep_acc = _verify(rep_a, rep_b, np.zeros(len(rep_a), bool))
                 a_ids = np.concatenate([a_ids[accept], rep_a[rep_acc]])
@@ -893,10 +959,9 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
             return bits.sum(axis=1) <= max_hamming
 
         keep = _ham_keep(a_np, b_np)
-        fb_fail = fb.astype(bool) & ~keep
-        if fb_fail.any():
-            rep_a, rep_b = _repair_pairs(a_np[fb_fail], b_np[fb_fail],
-                                         cap=pair_cap)
+        if (fb.astype(bool) & ~keep).any():
+            rep_a, rep_b = _repair_candidates(a_np, b_np, fb.astype(bool),
+                                              keep, cap=pair_cap)
             if len(rep_a):
                 rep_keep = _ham_keep(rep_a, rep_b)
                 a_np = np.concatenate([a_np[keep], rep_a[rep_keep]])
@@ -1241,10 +1306,14 @@ def _distributed_dedup_finish(ds, signed, pairs, id_col, num_perm,
 
     def est_split(t: pa.Table, want_failed_fb: bool) -> pa.Table:
         """MinHash-estimate verdicts over sig-carrying edges: emit either the
-        ACCEPTED edges or the REJECTED fallback-star edges (fb=1) whose
-        members need the repair round."""
+        ACCEPTED edges, or (fb mode) EVERY fallback-star edge with its
+        verdict — the repair round needs the passed members of a failing hub
+        too, not just the failures."""
         if t.num_rows == 0 or "k" not in t.column_names:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+            cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            if want_failed_fb:
+                cols["ok"] = pa.array([], pa.bool_())
+            return pa.table(cols)
         b_ids = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
         a_ids = t.column("other").to_numpy(zero_copy_only=False).astype(np.int64)
         sigs = t.column("sig").to_pylist()
@@ -1253,9 +1322,12 @@ def _distributed_dedup_finish(ds, signed, pairs, id_col, num_perm,
         est = (sa == sb).mean(axis=1)
         if want_failed_fb:
             fbm = t.column("fb").to_numpy(zero_copy_only=False).astype(bool)
-            keep = fbm & (est < jaccard_threshold)
-        else:
-            keep = est >= jaccard_threshold
+            return pa.table(
+                {"a": pa.array(a_ids[fbm], pa.int64()),
+                 "b": pa.array(b_ids[fbm], pa.int64()),
+                 "ok": pa.array(est[fbm] >= jaccard_threshold)}
+            )
+        keep = est >= jaccard_threshold
         return pa.table(
             {"a": pa.array(a_ids[keep], pa.int64()), "b": pa.array(b_ids[keep], pa.int64())}
         )
@@ -1270,21 +1342,24 @@ def _distributed_dedup_finish(ds, signed, pairs, id_col, num_perm,
 
     # repair round: fallback star edges (fb=1, oversized LSH groups) that
     # failed the estimate would silently disconnect true pairs among their
-    # members — re-pair failed members per hub (chunk-bounded all-pairs; edge
-    # volume ≤ cap × |failed|, and failures are rare by construction so the
-    # driver only ever sees the failed STARS, never the corpus)
-    failed_fb = st2.map_batches(
+    # members — for every hub with ≥1 failed edge, re-pair ALL its star
+    # members (passed and failed: a failed member's true duplicate may be a
+    # passed one) with chunk-bounded all-pairs. fb edges exist only for
+    # oversized LSH groups, so the driver sees ≤ one row per oversized-group
+    # member, never the corpus
+    fb_edges = st2.map_batches(
         _ft.partial(est_split, want_failed_fb=True),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
-    if failed_fb.count() > 0:
+    if fb_edges.count() > 0:
         ft = pa.concat_tables(
-            failed_fb.iter_batches(batch_size=None, batch_format="pyarrow")
+            fb_edges.iter_batches(batch_size=None, batch_format="pyarrow")
         )
-        rep_a, rep_b = _repair_pairs(
-            ft.column("a").to_numpy(zero_copy_only=False),
-            ft.column("b").to_numpy(zero_copy_only=False),
-            cap=pair_cap,
+        fa = ft.column("a").to_numpy(zero_copy_only=False)
+        fbn = ft.column("b").to_numpy(zero_copy_only=False)
+        fok = ft.column("ok").to_numpy(zero_copy_only=False).astype(bool)
+        rep_a, rep_b = _repair_candidates(
+            fa, fbn, np.ones(len(fa), bool), fok, cap=pair_cap
         )
         if len(rep_a):
             repair_ds = rd.from_arrow(

@@ -163,10 +163,14 @@ class RecipeResult:
             if errs.num_rows:
                 # deterministic content-derived filename: a Ray task retry /
                 # speculative re-execution of the same block OVERWRITES its
-                # own file instead of duplicating error rows
+                # own file instead of duplicating error rows. The digest runs
+                # over the FULL input batch (ok rows included), not just the
+                # 4-column error slice — two different blocks can easily
+                # produce byte-identical error tables on dup-heavy corpora
+                # and must not collide on the same filename
                 sink = io.BytesIO()
-                with pa.ipc.new_stream(sink, errs.schema) as w:
-                    w.write_table(errs)
+                with pa.ipc.new_stream(sink, t.schema) as w:
+                    w.write_table(t)
                 digest = hashlib.blake2b(sink.getvalue(), digest_size=12).hexdigest()
                 pq.write_table(
                     errs, os.path.join(err_dir, f"errors-{digest}.parquet")
