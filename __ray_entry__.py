@@ -1175,6 +1175,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "text", "lang", "source", "n_chars"]
         )
 
+    def dedup_index_pruned_invariant(sf_dir):
+        # the band-PARTITIONED index layout (v2): four id-ordered increments
+        # with a small sig_parts so each increment's historical read is a
+        # pruned subset of band partitions (+ exact-key pushdown), never the
+        # full signature table — the survivor union must STILL equal the
+        # batch run (same min-id-per-normalized-text SQL oracle as
+        # dedup_index_incremental_invariant)
+        from wrangler_ray.ops.dedup_index import MinHashDedupIndex
+
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        ids = docs.column("doc_id").to_numpy()
+        qs = np.quantile(ids, [0.25, 0.5, 0.75])
+        idx = MinHashDedupIndex(
+            tempfile.mkdtemp(prefix="wr_dedup_idxp_"),
+            num_perm=128, bands=32, shingle_k=50, jaccard_threshold=1.0,
+            sig_parts=16,
+        )
+        import ray.data as rd
+
+        bounds = [ids.min() - 1, *qs, ids.max()]
+        parts = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            inc = rd.from_arrow(
+                docs.filter(pa.array((ids > lo) & (ids <= hi)))
+            ).repartition(4)
+            out = idx.dedup_increment(inc)
+            parts.append(
+                pa.concat_tables(
+                    out.iter_batches(batch_size=None, batch_format="pyarrow")
+                )
+            )
+        return pa.concat_tables(parts).select(
+            ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+
     def similarity_ivf_index_invariant(sf_dir):
         # the PERSISTED IVF index at nprobe=all cells reads every cell back
         # from its partitioned parquet layout and must return exactly the
@@ -1358,6 +1393,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     return {
+        # --- ordered so a driver that caps its correctness window still
+        # certifies the least-recently-certified entries first: new this
+        # round, then never-driver-certified, then r2-only, then r3-green
+        # -- new in round 4
+        "dedup_index_pruned_invariant": dedup_index_pruned_invariant,
+        # -- never driver-certified
+        "dedup_lsh_exact_invariant": dedup_lsh_exact_invariant,
+        "dedup_index_incremental_invariant": dedup_index_incremental_invariant,
+        "dedup_simhash_invariant": dedup_simhash_invariant,
+        "sample_reservoir_invariant": sample_reservoir_invariant,
+        "dedup_embedding_invariant": dedup_embedding_invariant,
+        "text_analysis_sql_invariant": text_analysis_sql_invariant,
+        "quality_filter_docs": quality_filter_docs,
+        "source_csv_roundtrip": source_csv_roundtrip,
+        "similarity_ivf_index_invariant": similarity_ivf_index_invariant,
+        "similarity_lsh_exhaustive_invariant": similarity_lsh_exhaustive_invariant,
+        "similarity_ivf_exhaustive_invariant": similarity_ivf_exhaustive_invariant,
+        # -- last driver-certified in round 2
+        "similarity_ivf_topk": similarity_ivf_topk,
+        "sample_reservoir_docs": sample_reservoir_docs,
+        "error_channel_customer": error_channel_customer,
+        "write_csv_nation": write_csv_nation,
+        "text_quality_docs": text_quality_docs,
+        "string_mega_customer": string_mega_customer,
+        "column_mega_part": column_mega_part,
+        "dates_mega_events": dates_mega_events,
+        "parser_mega_events": parser_mega_events,
+        "parser_mega2_events": parser_mega2_events,
+        "parser_mega3_events": parser_mega3_events,
+        "validate_standard_events": validate_standard_events,
+        # -- driver-certified in round 3
         "directive_chain_docs": directive_chain_docs,
         "mask_hash_customer": mask_hash_customer,
         "pricing_summary": pricing_summary,
@@ -1408,29 +1474,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_regex_part": extract_regex_part,
         "profile_documents": profile_documents,
         "dedup_ngram_docs": dedup_ngram_docs,
-        "similarity_ivf_topk": similarity_ivf_topk,
-        "sample_reservoir_docs": sample_reservoir_docs,
-        "error_channel_customer": error_channel_customer,
-        "write_csv_nation": write_csv_nation,
-        "text_quality_docs": text_quality_docs,
-        "string_mega_customer": string_mega_customer,
-        "column_mega_part": column_mega_part,
-        "dates_mega_events": dates_mega_events,
-        "parser_mega_events": parser_mega_events,
-        "parser_mega2_events": parser_mega2_events,
-        "parser_mega3_events": parser_mega3_events,
-        "validate_standard_events": validate_standard_events,
-        "dedup_lsh_exact_invariant": dedup_lsh_exact_invariant,
-        "dedup_index_incremental_invariant": dedup_index_incremental_invariant,
-        "dedup_simhash_invariant": dedup_simhash_invariant,
-        "sample_reservoir_invariant": sample_reservoir_invariant,
-        "dedup_embedding_invariant": dedup_embedding_invariant,
-        "text_analysis_sql_invariant": text_analysis_sql_invariant,
-        "quality_filter_docs": quality_filter_docs,
-        "source_csv_roundtrip": source_csv_roundtrip,
-        "similarity_ivf_index_invariant": similarity_ivf_index_invariant,
-        "similarity_lsh_exhaustive_invariant": similarity_lsh_exhaustive_invariant,
-        "similarity_ivf_exhaustive_invariant": similarity_ivf_exhaustive_invariant,
     }
 
 
@@ -1916,6 +1959,16 @@ def oracle_sql() -> dict[str, str]:
               ON d.doc_id = reps.doc_id
         """,
         "dedup_index_incremental_invariant": """
+            WITH keyed AS (
+                SELECT *, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k
+                FROM documents
+            )
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM keyed d
+            JOIN (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY k) reps
+              ON d.doc_id = reps.doc_id
+        """,
+        "dedup_index_pruned_invariant": """
             WITH keyed AS (
                 SELECT *, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k
                 FROM documents

@@ -418,7 +418,9 @@ def minhash_lsh_dedup(
     max_driver_edges: int = 4_000_000,
     pair_cap: int = 256,
     pre_exact: bool = True,
-    indexed: tuple | None = None,
+    indexed=None,
+    return_artifacts: bool = False,
+    max_broadcast_keys: int = 4_000_000,
 ):
     """MinHash+LSH near-dup removal: shingle→minhash→band→bucket groupby→
     candidate pairs→verify Jaccard→connected components→keep min-id per
@@ -439,17 +441,37 @@ def minhash_lsh_dedup(
     driver); only edges within ``±exact_margin`` of the threshold fall back
     to TRUE shingle-set Jaccard, for which only those few texts are fetched.
 
-    ``indexed=(texts_ds, signed_ds)`` unions an already-deduped,
-    already-SIGNED corpus into the candidate space without re-signing it:
-    ``signed_ds`` rows are (id, sig, dig) produced by a previous run with
-    the same (num_perm, bands, shingle_k); ``texts_ds`` provides (id, text)
-    for borderline exact verification only — either a Dataset, or a
-    callable(candidate_ids) -> Dataset so the caller can push the id filter
-    into the parquet read (row-group pruning) instead of scanning every
-    historical text block. Incoming ids must exceed every indexed
-    id so cluster minima always land on the indexed side ("old doc wins") —
-    enforced by MinHashDedupIndex, the intended caller. The returned Dataset
-    filters ``ds`` only, so indexed docs never reappear in the output.
+    ``indexed`` unions an already-deduped historical corpus into the
+    candidate space without re-signing it. Two protocols:
+
+    - legacy tuple ``(texts_ds, signed_ds)``: ``signed_ds`` rows are
+      (id, sig, dig) produced by a previous run with the same (num_perm,
+      bands, shingle_k); ``texts_ds`` provides (id, text) for borderline
+      exact verification only — either a Dataset, or a
+      callable(candidate_ids) -> Dataset so the caller can push the id
+      filter into the parquet read (row-group pruning). The FULL historical
+      signature table is read and re-banded — O(index) per call.
+    - banded-index object (duck-typed on ``banded_for``): exposes
+      ``sig_parts`` (int), ``watermark`` (max indexed id),
+      ``banded_for(pbs, keys)`` → Dataset of PRE-BANDED historical rows
+      (_bkt, band, key, id, dig) pruned to the partitions/keys the increment
+      actually hashes to, ``sigs_for(ids | None)`` → (id, sig, dig) rows
+      for exactly those ids (None = all), and ``texts_for(ids)``. Historical
+      signatures are then read only for candidate-edge endpoints and
+      historical band rows only from matching partitions — O(increment)
+      work per call, not O(index). Candidate pairs whose BOTH endpoints are
+      historical (b ≤ watermark) are dropped: they were resolved when those
+      docs were indexed.
+
+    Incoming ids must exceed every indexed id so cluster minima always land
+    on the indexed side ("old doc wins") — enforced by MinHashDedupIndex,
+    the intended caller. The returned Dataset filters ``ds`` only, so
+    indexed docs never reappear in the output.
+
+    ``return_artifacts=True`` returns ``(result, signed, banded)`` where
+    ``signed``/``banded`` are the materialized signature and band-row tables
+    of THIS call's input docs — so an index appending the survivors persists
+    them by filtering instead of re-signing.
 
     ``distributed=True`` switches to the no-driver-state path for corpora
     whose candidate-edge set exceeds driver memory: edges stay a Dataset,
@@ -501,6 +523,7 @@ def minhash_lsh_dedup(
             }
         )
 
+    banded_index = indexed is not None and hasattr(indexed, "banded_for")
     # signatures computed ONCE, kept distributed; band keys derive from them
     signed = ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True).materialize()
     # text_source is only consumed for BORDERLINE exact verification; it is a
@@ -508,7 +531,15 @@ def minhash_lsh_dedup(
     # caller push the candidate-id filter into the parquet read (row-group
     # stats pruning) instead of scanning every historical text block
     text_source = lambda _ids: ds  # noqa: E731
-    if indexed is not None:
+    hist_sigs_for = None  # banded-index protocol: (ids|None) -> (id,sig,dig)
+    watermark = None
+    if banded_index:
+        watermark = indexed.watermark
+        hist_sigs_for = indexed.sigs_for
+        text_source = lambda ids: ds.select_columns(  # noqa: E731
+            [id_col, text_col]
+        ).union(indexed.texts_for(ids))
+    elif indexed is not None:
         idx_texts, idx_signed = indexed
         signed = signed.union(idx_signed)
         if callable(idx_texts):
@@ -628,18 +659,54 @@ def minhash_lsh_dedup(
                          "fb": pa.array(out["fb"].astype(np.int8))})
 
     banded = signed.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+    if banded_index or return_artifacts:
+        banded = banded.materialize()
+    banded_own = banded  # THIS call's band rows only (the persistable artifact)
+    if banded_index:
+        # prune the historical read to the band partitions (and, when small
+        # enough to broadcast, the exact keys) this increment hashes to —
+        # O(increment) historical I/O instead of re-reading the whole index
+        pbs, keys = _collect_band_keys(
+            banded_own, indexed.sig_parts, max_broadcast_keys
+        )
+        banded = banded_own.union(indexed.banded_for(pbs, keys))
     pairs = banded.groupby("_bkt").map_groups(bucket_edges, batch_format="pyarrow")
+    if banded_index:
+        w = watermark
+
+        def drop_hist_hist(t: pa.Table) -> pa.Table:
+            # a<b on every emitted pair, so b ≤ watermark ⇔ both endpoints
+            # are historical — already resolved when they were indexed
+            if t.num_rows == 0 or "b" not in t.column_names:
+                return t
+            bb = t.column("b").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(bb > w))
+
+        pairs = pairs.map_batches(
+            drop_hist_hist, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def _finish(result):
+        return (result, signed, banded_own) if return_artifacts else result
+
+    def _signed_full():
+        # the distributed tail attaches signatures by id with no driver-side
+        # candidate set to prune on — union the persisted table (banded-index
+        # protocol only; the legacy tuple already unioned it into `signed`)
+        return signed.union(hist_sigs_for(None)) if banded_index else signed
 
     if distributed:
-        return _distributed_dedup_finish(
-            ds, signed, pairs, id_col, num_perm, jaccard_threshold, pair_cap
-        )
+        return _finish(_distributed_dedup_finish(
+            ds, _signed_full(), pairs, id_col, num_perm, jaccard_threshold,
+            pair_cap
+        ))
 
     pairs, edges = _edges_or_distributed(pairs, max_driver_edges)
     if edges is None:  # edge set too large for driver union-find — auto-switch
-        return _distributed_dedup_finish(
-            ds, signed, pairs, id_col, num_perm, jaccard_threshold, pair_cap
-        )
+        return _finish(_distributed_dedup_finish(
+            ds, _signed_full(), pairs, id_col, num_perm, jaccard_threshold,
+            pair_cap
+        ))
 
     if len(edges):
         a_ids = edges["a"].to_numpy()
@@ -662,8 +729,15 @@ def minhash_lsh_dedup(
             ids = t.column(id_col).to_numpy(zero_copy_only=False)
             return t.filter(pa.array(np.isin(ids, cand)))
 
+        sig_scan = signed
+        if banded_index:
+            # historical endpoints' signatures: an id-filtered read of the
+            # persisted table (row-group pruning), not a full-index scan
+            old = cand[cand <= watermark]
+            if len(old):
+                sig_scan = signed.union(hist_sigs_for(old))
         sig_tabs = list(
-            signed.map_batches(
+            sig_scan.map_batches(
                 collect_sigs, batch_format="pyarrow", zero_copy_batch=True
             ).iter_batches(batch_size=None, batch_format="pyarrow")
         )
@@ -820,7 +894,9 @@ def minhash_lsh_dedup(
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         return t.filter(pa.array(~np.isin(ids, drop_arr)))
 
-    return ds.map_batches(remove_dups, batch_format="pyarrow", zero_copy_batch=True)
+    return _finish(
+        ds.map_batches(remove_dups, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:

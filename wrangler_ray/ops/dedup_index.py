@@ -1,15 +1,26 @@
 """Persisted incremental near-dup index (beyond the reference, the 100 TB
 ingest shape): dedup each arriving increment against everything kept so far
-WITHOUT re-signing the historical corpus.
+WITHOUT re-signing — or even re-reading — the historical corpus.
 
 A batch `minhash_lsh_dedup` over `corpus ∪ increment` re-shingles and
 re-minhashes the whole corpus on every arrival — O(corpus) signing per
-increment. `MinHashDedupIndex` persists the survivors' SIGNATURES
-(num_perm × 8 bytes per doc, ~64× smaller than text) plus their texts under
-``index_dir`` and unions the pre-signed table into the LSH candidate space
-(`minhash_lsh_dedup(..., indexed=...)`), so each increment pays signing for
-its own docs only. Historical texts are read column-pruned and ONLY for the
-few borderline-band candidates that need exact shingle-set verification.
+increment. `MinHashDedupIndex` persists three things per committed
+increment under ``index_dir``:
+
+- the survivors' TEXTS (borderline exact verification only, id-filtered),
+- their SIGNATURES (num_perm × 8 bytes per doc, candidate-endpoint
+  verification only, id-filtered),
+- their BAND ROWS (band, key, id, dig — the LSH candidate space itself),
+  hash-partitioned by ``pb = key % sig_parts``.
+
+An arriving increment signs + bands ITS OWN docs, then reads back only the
+``pb`` partitions its own band keys hash to (with the exact key set pushed
+into the parquet read as a filter when small enough to broadcast) — so
+historical I/O per increment is O(increment ∩ index), not O(index).
+Candidate pairs whose both endpoints are historical are dropped (they were
+resolved when those docs were indexed). Signatures/texts of historical
+CANDIDATE ENDPOINTS are fetched by id-filtered reads (row-group pruning —
+increments are id-monotone, so per-file id stats are tight).
 
 Semantics — "old doc wins": incoming ids must exceed the index watermark
 (monotone, LSN-like — the natural shape of an ingest pipeline), so every
@@ -19,33 +30,32 @@ With monotone ids the incremental survivor set provably equals the batch
 run over the concatenated corpus (pinned by the in-repo A/B test and the
 ``dedup_index_incremental_invariant`` driver oracle).
 
-Storage layout (resumable: one subdirectory per committed increment):
+Storage layout (v2; one subdirectory per committed increment):
 
-    index_dir/meta.json                      {params, watermark, count, incr}
-    index_dir/texts/incr-00000K/*.parquet    (id, text)
+    index_dir/meta.json                         {params, watermark, count, incr}
+    index_dir/texts/incr-00000K/*.parquet       (id, text)
     index_dir/signatures/incr-00000K/*.parquet  (id, sig, dig)
+    index_dir/bands/incr-00000K/pb=J/*.parquet  (band, key, id, dig)
 
 The meta commit is atomic (tmp + rename) and happens LAST, so a crashed
 increment leaves only unreferenced files: re-running the increment is safe
-and the orphan directories are simply overwritten.
+and the orphan directories are deleted and rewritten. All storage goes
+through ``pyarrow.fs`` (``filesystem=`` injectable — object-store capable).
 
-At 100 TB the signatures table itself is large; the scale path keeps it
-hash-partitioned by band key so an increment reads only the band partitions
-its own keys hash to — the layout above is one `read_parquet` filter away
-from that, and the banding shuffle already buckets by the same key.
+v1 indexes (built before the band layout existed, meta without ``layout``)
+keep working: they fall back to the legacy full-signature-table read and
+never gain band partitions — rebuild to get pruned increments.
 """
 from __future__ import annotations
 
-import json
-import os
+import posixpath
 
 import numpy as np
 import pyarrow as pa
 
+from wrangler_ray.ops import fsio
 from wrangler_ray.ops.dedup import (
-    MinHasher,
-    _mix64,
-    _shingle_hashes,
+    _coarse_bucket,
     exact_dedup,
     minhash_lsh_dedup,
 )
@@ -59,18 +69,19 @@ class MinHashDedupIndex:
         bands: int = 16,
         shingle_k: int = 5,
         jaccard_threshold: float = 0.8,
+        sig_parts: int = 64,
+        filesystem=None,
     ):
-        self.index_dir = index_dir
-        self.meta_path = os.path.join(index_dir, "meta.json")
+        self.fs, self.index_dir = fsio.resolve_fs(index_dir, filesystem)
+        self.meta_path = posixpath.join(self.index_dir, "meta.json")
         params = {
             "num_perm": num_perm,
             "bands": bands,
             "shingle_k": shingle_k,
             "jaccard_threshold": jaccard_threshold,
         }
-        if os.path.exists(self.meta_path):
-            with open(self.meta_path) as f:
-                meta = json.load(f)
+        meta = fsio.read_json(self.fs, self.meta_path)
+        if meta is not None:
             for k, v in params.items():
                 if meta[k] != v:
                     raise ValueError(
@@ -78,10 +89,24 @@ class MinHashDedupIndex:
                         f"got {v} — signatures are not comparable across "
                         "parameter sets"
                     )
+            if meta.get("layout", 1) >= 2 and meta["sig_parts"] != sig_parts:
+                raise ValueError(
+                    f"index at {index_dir} was built with "
+                    f"sig_parts={meta['sig_parts']}, got {sig_parts}"
+                )
             self.meta = meta
         else:
-            os.makedirs(index_dir, exist_ok=True)
-            self.meta = {**params, "watermark": None, "count": 0, "incr": 0}
+            self.fs.create_dir(self.index_dir, recursive=True)
+            self.meta = {
+                **params,
+                "sig_parts": sig_parts,
+                "layout": 2,
+                "id_col": None,
+                "text_col": None,
+                "watermark": None,
+                "count": 0,
+                "incr": 0,
+            }
 
     @property
     def watermark(self):
@@ -91,31 +116,121 @@ class MinHashDedupIndex:
     def count(self) -> int:
         return self.meta["count"]
 
-    def _incr_dirs(self, kind: str) -> list:
-        root = os.path.join(self.index_dir, kind)
-        if not os.path.isdir(root):
-            return []
-        import glob
+    @property
+    def sig_parts(self) -> int:
+        return self.meta["sig_parts"]
 
+    def _incr_files(self, kind: str, sub: str | None = None) -> list:
+        """Parquet files of every COMMITTED increment under ``kind`` (an
+        increment that crashed before its meta commit leaves orphan dirs —
+        ignored); ``sub`` narrows to one partition subdir per increment."""
+        root = posixpath.join(self.index_dir, kind)
         files: list = []
-        for d in sorted(os.listdir(root)):
-            # only directories the committed meta references (an increment
-            # that crashed before its meta commit leaves orphans — ignored)
+        for d in fsio.list_subdirs(self.fs, root):
             if d.startswith("incr-") and int(d.split("-")[1]) < self.meta["incr"]:
-                files.extend(sorted(glob.glob(os.path.join(root, d, "*.parquet"))))
+                p = posixpath.join(root, d)
+                if sub is not None:
+                    p = posixpath.join(p, sub)
+                files.extend(fsio.list_parquet(self.fs, p))
         return files
 
     def _commit_meta(self) -> None:
-        tmp = self.meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.meta, f)
-        os.replace(tmp, self.meta_path)
+        fsio.write_json_atomic(self.fs, self.meta_path, self.meta)
+
+    # -- the banded-index protocol consumed by minhash_lsh_dedup ----------
+
+    def texts_for(self, ids):
+        """(id, text) rows for the given candidate ids, with the id filter
+        pushed into the parquet read: increments are id-monotone, so each
+        file's row-group id stats are tight and non-matching files/row-groups
+        prune instead of scanning the whole historical text corpus."""
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        flt = pads.field(self.meta["id_col"]).isin(pa.array(np.asarray(ids)))
+        return rd.read_parquet(
+            self._incr_files("texts"), filter=flt, filesystem=self.fs
+        )
+
+    def sigs_for(self, ids=None):
+        """(id, sig, dig) rows for the given candidate ids (None = the whole
+        table — only the no-driver-state distributed tail needs that)."""
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        flt = None
+        if ids is not None:
+            flt = pads.field(self.meta["id_col"]).isin(pa.array(np.asarray(ids)))
+        return rd.read_parquet(
+            self._incr_files("signatures"), filter=flt, filesystem=self.fs
+        )
+
+    def banded_for(self, pbs, keys=None):
+        """Historical band rows from ONLY the ``pb`` partitions in ``pbs``,
+        further filtered to the exact ``keys`` when provided — the pruned
+        read that makes per-increment I/O O(increment), not O(index)."""
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        id_col = self.meta["id_col"]
+        files: list = []
+        for j in np.asarray(pbs).tolist():
+            files.extend(self._incr_files("bands", sub=f"pb={int(j)}"))
+
+        def empty() -> pa.Table:
+            return pa.table(
+                {"_bkt": pa.array([], pa.int32()),
+                 "band": pa.array([], pa.int32()),
+                 "key": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()),
+                 "dig": pa.array([], pa.int64())}
+            )
+
+        if not files:
+            return rd.from_arrow(empty())
+        flt = None
+        if keys is not None:
+            flt = pads.field("key").isin(pa.array(np.asarray(keys, np.int64)))
+
+        def add_bkt(t: pa.Table) -> pa.Table:
+            # recompute the coarse shuffle bucket from (key, band) — the same
+            # derivation the in-flight banding uses, so persisted rows land
+            # in the same groupby buckets as the increment's
+            if t.num_rows == 0:
+                return empty()
+            key = t.column("key").to_numpy(zero_copy_only=False)
+            band = t.column("band").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"_bkt": pa.array(_coarse_bucket(key, band)),
+                 "band": t.column("band"),
+                 "key": t.column("key"),
+                 id_col: t.column(id_col),
+                 "dig": t.column("dig")}
+            )
+
+        return rd.read_parquet(files, filter=flt, filesystem=self.fs).map_batches(
+            add_bkt, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def _legacy_indexed(self, id_col: str):
+        """v1 indexes have no band partitions: fall back to the legacy tuple
+        protocol (full signature-table read, re-banded in flight)."""
+        import ray.data as rd
+
+        sig_files = self._incr_files("signatures")
+        if not sig_files:
+            return None
+        return (self.texts_for, rd.read_parquet(sig_files, filesystem=self.fs))
+
+    # -- ingest -------------------------------------------------------------
 
     def dedup_increment(self, ds, text_col: str = "text", id_col: str = "doc_id"):
         """Dedup one arriving increment against the index AND within itself;
-        append the survivors (texts + signatures) to the index; return the
-        surviving rows of ``ds`` as a materialized Dataset."""
-        import ray.data as rd
+        append the survivors (texts + signatures + band rows) to the index;
+        return the surviving rows of ``ds`` as a materialized Dataset.
+        Survivor signatures/band rows are the ones the dedup itself computed
+        — filtered, never re-derived."""
+        import ray
 
         lo = ds.min(id_col)
         if lo is None:  # empty increment — nothing to do, commit nothing
@@ -126,25 +241,22 @@ class MinHashDedupIndex:
                 f"{self.meta['watermark']} — ids must be monotone so kept "
                 "documents always win their clusters"
             )
+        legacy = self.meta.get("layout", 1) < 2
+        if self.meta.get("id_col") is None:
+            self.meta["id_col"] = id_col
+            self.meta["text_col"] = text_col
+        elif self.meta["id_col"] != id_col or self.meta["text_col"] != text_col:
+            raise ValueError(
+                f"index at {self.index_dir} stores "
+                f"({self.meta['id_col']}, {self.meta['text_col']}) columns, "
+                f"got ({id_col}, {text_col})"
+            )
         ds = exact_dedup(ds, text_col=text_col, id_col=id_col)
 
-        sig_dirs = self._incr_dirs("signatures")
-        text_dirs = self._incr_dirs("texts")
         indexed = None
-        if sig_dirs:
-            import pyarrow.dataset as pads
-
-            def texts_for(ids):
-                # borderline-candidate fetch with the id filter pushed into
-                # the parquet read: increments are id-monotone, so each
-                # file's row-group id stats are tight and non-matching
-                # files/row-groups prune instead of scanning the whole
-                # historical text corpus
-                flt = pads.field(id_col).isin(pa.array(np.asarray(ids)))
-                return rd.read_parquet(text_dirs, filter=flt)
-
-            indexed = (texts_for, rd.read_parquet(sig_dirs))
-        out = minhash_lsh_dedup(
+        if self.meta["incr"] > 0:
+            indexed = self._legacy_indexed(id_col) if legacy else self
+        out, signed, banded = minhash_lsh_dedup(
             ds,
             text_col=text_col,
             id_col=id_col,
@@ -154,57 +266,57 @@ class MinHashDedupIndex:
             shingle_k=self.meta["shingle_k"],
             pre_exact=False,  # done above, against raw text
             indexed=indexed,
-        ).materialize()
-
-        k = self.meta["incr"]
-        hasher = MinHasher(
-            num_perm=self.meta["num_perm"], shingle_k=self.meta["shingle_k"]
+            return_artifacts=True,
         )
-        num_perm = self.meta["num_perm"]
-        shingle_k = self.meta["shingle_k"]
-
-        def sign_rows(t: pa.Table) -> pa.Table:
-            texts = t.column(text_col).to_pylist()
-            n = len(texts)
-            sigs = np.empty((n, num_perm), np.uint64)
-            digs = np.empty(n, np.uint64)
-            for i, x in enumerate(texts):
-                sh = _shingle_hashes(x, shingle_k)
-                if len(sh) == 0:
-                    sigs[i] = np.iinfo(np.uint64).max
-                    digs[i] = 0
-                    continue
-                with np.errstate(over="ignore"):
-                    prod = sh[None, :] * hasher.a[:, None] + hasher.b[:, None]
-                    sigs[i] = prod.min(axis=1)
-                    digs[i] = _mix64(np.bitwise_xor.reduce(np.unique(sh))[None])[0]
-            return pa.table(
-                {
-                    id_col: t.column(id_col),
-                    "sig": pa.FixedSizeListArray.from_arrays(
-                        pa.array(sigs.astype(np.int64).ravel(), pa.int64()), num_perm
-                    ),
-                    "dig": pa.array(digs.astype(np.int64), pa.int64()),
-                }
-            )
+        out = out.materialize()
 
         # a crashed previous attempt at THIS increment leaves orphan files in
         # the uncommitted incr-k dirs; clear them so the re-run replaces
         # rather than appends (write_parquet generates fresh file names)
-        import shutil
+        k = self.meta["incr"]
+        for kind in ("texts", "signatures", "bands"):
+            fsio.delete_dir(
+                self.fs, posixpath.join(self.index_dir, kind, f"incr-{k:06d}")
+            )
 
-        for kind in ("texts", "signatures"):
-            leftover = os.path.join(self.index_dir, kind, f"incr-{k:06d}")
-            if os.path.isdir(leftover):
-                shutil.rmtree(leftover)
+        surv = np.sort(np.concatenate(
+            [t.column(id_col).to_numpy(zero_copy_only=False)
+             for t in out.select_columns([id_col]).iter_batches(
+                 batch_size=None, batch_format="pyarrow")]
+            or [np.empty(0, np.int64)]
+        ))
+        surv_ref = ray.put(surv)
 
-        texts_only = out.select_columns([id_col, text_col])
-        texts_only.write_parquet(
-            os.path.join(self.index_dir, "texts", f"incr-{k:06d}")
+        def keep_surv(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(ids, ray.get(surv_ref))))
+
+        out.select_columns([id_col, text_col]).write_parquet(
+            posixpath.join(self.index_dir, "texts", f"incr-{k:06d}"),
+            filesystem=self.fs,
         )
-        texts_only.map_batches(
-            sign_rows, batch_format="pyarrow", zero_copy_batch=True
-        ).write_parquet(os.path.join(self.index_dir, "signatures", f"incr-{k:06d}"))
+        signed.map_batches(
+            keep_surv, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(
+            posixpath.join(self.index_dir, "signatures", f"incr-{k:06d}"),
+            filesystem=self.fs,
+        )
+        if not legacy:
+            parts = self.meta["sig_parts"]
+
+            def band_out(t: pa.Table) -> pa.Table:
+                t = keep_surv(t)
+                key = t.column("key").to_numpy(zero_copy_only=False)
+                pb = (key % parts).astype(np.int32)
+                return t.drop_columns(["_bkt"]).append_column("pb", pa.array(pb))
+
+            banded.map_batches(
+                band_out, batch_format="pyarrow", zero_copy_batch=True
+            ).write_parquet(
+                posixpath.join(self.index_dir, "bands", f"incr-{k:06d}"),
+                partition_cols=["pb"],
+                filesystem=self.fs,
+            )
 
         n_kept = out.count()
         if n_kept:
