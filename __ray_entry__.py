@@ -371,6 +371,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return exact_dedup(_read(sf_dir, "documents"))
 
+    def dedup_exact_hash_ids_docs(sf_dir):
+        # the exchange-light path: only (hash128, id) rows shuffle, survivors
+        # kept by a broadcast map-side filter — must equal the full-row
+        # exchange (same SQL oracle as dedup_exact_docs)
+        from wrangler_ray.ops.dedup import exact_dedup
+
+        return exact_dedup(_read(sf_dir, "documents"), method="hash_ids")
+
     def dedup_minhash_docs(sf_dir):
         from wrangler_ray.ops.dedup import minhash_lsh_dedup
 
@@ -393,6 +401,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = np.asarray(emb.column("embedding").to_pylist()[0], np.float32)[None, :]
         out = brute_force_topk(_read(sf_dir, "embeddings"), q, k=10)
         out = out.drop_columns(["query_idx"])
+        return _round_cols(out, {"score": 3})
+
+    def similarity_multiquery_topk(sf_dir):
+        # realistic fan-out through the distributed groupby(query_idx) top-k
+        # merge: 64 simultaneous queries (the 64 lowest vec_ids), exact
+        # brute-force top-5 each, against a SQL oracle ranking all 64
+        from wrangler_ray.ops.similarity import brute_force_topk
+
+        emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        order = np.argsort(emb.column("vec_id").to_numpy())[:64]
+        q = np.asarray(
+            emb.column("embedding").take(pa.array(order)).to_pylist(), np.float32
+        )
+        out = brute_force_topk(_read(sf_dir, "embeddings"), q, k=5)
         return _round_cols(out, {"score": 3})
 
     def similarity_lsh_topk(sf_dir):
@@ -1320,6 +1342,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pa.field("n_regionkey", pa.int32()),
         ]))
 
+    def source_avro_roundtrip(sf_dir):
+        # sources surface: encode nation as TWO Avro object-container files
+        # with the in-repo writer, read them back through the sniffing
+        # reader (read_binary_files → per-file container decode) — result
+        # must equal the parquet table
+        from wrangler_ray.ops.avro_writer import write_container
+        from wrangler_ray.sources import read_any
+
+        nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        schema = {
+            "type": "record", "name": "nation",
+            "fields": [
+                {"name": "n_nationkey", "type": "int"},
+                {"name": "n_name", "type": "string"},
+                {"name": "n_regionkey", "type": "int"},
+            ],
+        }
+        rows = nation.to_pylist()
+        workdir = tempfile.mkdtemp(prefix="wr_src_avro_")
+        half = len(rows) // 2
+        for i, chunk in enumerate((rows[:half], rows[half:])):
+            with open(os.path.join(workdir, f"part-{i}.avro"), "wb") as f:
+                f.write(write_container(schema, chunk))
+        out = read_any(workdir, fmt="avro")
+        t = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+        return t.cast(pa.schema([
+            pa.field("n_nationkey", pa.int32()),
+            pa.field("n_name", pa.string()),
+            pa.field("n_regionkey", pa.int32()),
+        ]))
+
     def dedup_simhash_invariant(sf_dir):
         # corpus-independent invariant for the one dedup method with no
         # oracle: rewrite every document's text to one of 8 FIXED base texts
@@ -1398,6 +1451,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round, then never-driver-certified, then r2-only, then r3-green
         # -- new in round 4
         "dedup_index_pruned_invariant": dedup_index_pruned_invariant,
+        "source_avro_roundtrip": source_avro_roundtrip,
+        "dedup_exact_hash_ids_docs": dedup_exact_hash_ids_docs,
+        "similarity_multiquery_topk": similarity_multiquery_topk,
         # -- never driver-certified
         "dedup_lsh_exact_invariant": dedup_lsh_exact_invariant,
         "dedup_index_incremental_invariant": dedup_index_incremental_invariant,
@@ -1587,6 +1643,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
               ON d.doc_id = k.doc_id
         """,
+        "dedup_exact_hash_ids_docs": """
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
+              ON d.doc_id = k.doc_id
+        """,
         "similarity_topk": """
             WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
             SELECT vec_id,
@@ -1594,6 +1656,25 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC, vec_id
             LIMIT 10
+        """,
+        "similarity_multiquery_topk": """
+            WITH q AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_idx,
+                       embedding AS e
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 64)
+            ),
+            ranked AS (
+                SELECT q.query_idx, d.vec_id,
+                       list_cosine_similarity(d.embedding, q.e) AS s,
+                       row_number() OVER (
+                           PARTITION BY q.query_idx
+                           ORDER BY list_cosine_similarity(d.embedding, q.e) DESC,
+                                    d.vec_id
+                       ) AS rn
+                FROM embeddings d CROSS JOIN q
+            )
+            SELECT query_idx, vec_id, round(s, 3) AS score
+            FROM ranked WHERE rn <= 5
         """,
         "nondet_invariants_nation": """
             SELECT n_nationkey,
@@ -2037,6 +2118,9 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "source_csv_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "source_avro_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
         """,
         "quality_filter_docs": r"""

@@ -93,6 +93,24 @@ def run_benchmarks() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+    # Ray's Aggregate emits EMPTY output partitions for the hash slots no
+    # group lands in (6 pricing groups into N partitions), and the executor
+    # warns "RefBundle with a different schema ... new schema: ." for each.
+    # Drop ONLY that empty-new-schema variant — a REAL schema drift (non-empty
+    # differing schema) still warns.
+    import logging
+    import re as _re
+
+    class _EmptySchemaNoise(logging.Filter):
+        _pat = _re.compile(r"RefBundle with a different schema.*new schema: \.")
+
+        def filter(self, record: logging.LogRecord) -> bool:
+            return not self._pat.search(record.getMessage().replace("\n", " "))
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaNoise())
+
     from wrangler_ray.cdc.engine import CdcTable
     from wrangler_ray.ops.dedup import minhash_lsh_dedup
     from wrangler_ray.ops.text import analyze

@@ -37,6 +37,28 @@ def test_exact_dedup_keeps_null_text_rows(ray_session):
     }
 
 
+def test_exact_dedup_hash_ids_matches_full(ray_session):
+    """method='hash_ids' (shuffle (hash128, id) only + broadcast filter)
+    keeps exactly the same survivors as the full-row exchange — nulls and
+    multi-block layouts included."""
+    import ray.data as rd
+
+    from wrangler_ray.ops.dedup import exact_dedup
+
+    texts = [f"doc {i % 7} body" for i in range(40)] + [None, None, "x"]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(5)
+    full = sorted(exact_dedup(ds).to_pandas()["doc_id"])
+    light = sorted(exact_dedup(ds, method="hash_ids").to_pandas()["doc_id"])
+    assert light == full == [0, 1, 2, 3, 4, 5, 6, 40, 42]
+
+    with pytest.raises(ValueError, match="method"):
+        exact_dedup(ds, method="bogus")
+
+
 def test_minhash_pre_exact_keeps_null_text_rows(ray_session):
     import ray.data as rd
 

@@ -171,6 +171,39 @@ def test_detect_format(tmp_path):
     assert detect_format(str(j)) == "json"
 
 
+def test_read_any_avro_container(ray_session, tmp_path):
+    """read_any decodes Avro object-container files through the in-repo
+    pure-python reader — sniffed by extension AND by the Obj\\x01 magic —
+    with per-file task parallelism and column pruning."""
+    import pyarrow as pa
+
+    from wrangler_ray.ops.avro_writer import write_container
+    from wrangler_ray.sources import detect_format, read_any
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "k", "type": "long"},
+                   {"name": "s", "type": "string"}],
+    }
+    for i in range(2):
+        rows = [{"k": i * 10 + j, "s": f"v{i * 10 + j}"} for j in range(3)]
+        (tmp_path / f"part-{i}.avro").write_bytes(write_container(schema, rows))
+
+    out = read_any(str(tmp_path)).to_pandas().sort_values("k")
+    assert out["k"].tolist() == [0, 1, 2, 10, 11, 12]
+    assert out["s"].tolist() == [f"v{k}" for k in out["k"]]
+
+    # magic-byte sniff on an extension-less file
+    blob = write_container(schema, [{"k": 7, "s": "x"}])
+    noext = tmp_path / "stream.noext"
+    noext.write_bytes(blob)
+    assert detect_format(str(noext)) == "avro"
+
+    # column pruning at the decode
+    cols = read_any(str(tmp_path / "part-0.avro"), columns=["k"]).to_pandas()
+    assert list(cols.columns) == ["k"]
+
+
 def test_connected_components(ray_session):
     import pyarrow as pa
     import ray.data as rd

@@ -649,24 +649,6 @@ class ParseXmlToJson(Directive):
         return table, err
 
 
-class _NeedsExternalLibrary(Directive):
-    """Base for parsers whose decoder library isn't in this container.
-    The Ray-side plumbing (arguments, schema shape) is real; the decode
-    raises a clear NotImplementedError."""
-
-    library = ""
-
-    def __init__(self, call):
-        self.call = call
-
-    def apply(self, table, ctx):
-        raise NotImplementedError(
-            f"{self.name}: requires {self.library}, not available in this environment. "
-            f"Implement decode in an actor-pool stage (see stages/) when the "
-            f"library is present."
-        )
-
-
 _AVRO_SCHEMAS: dict[str, dict] = {}
 
 

@@ -32,14 +32,31 @@ def _content_hash(texts: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                num_buckets: int = 128):
+                num_buckets: int = 128, method: str = "full"):
     """Keep exactly one row (min id) per distinct text value.
 
     hash-partition + per-group first — SURVEY §2.9. The shuffle key is a
     COARSE bucket of the 64-bit content hash (``num_buckets`` groups, uniform
     → skew-free) rather than the hash itself: one map_groups task per bucket
     with a vectorized pandas groupby inside, instead of one Python call per
-    distinct value. num_buckets ≈ 4× cluster cores."""
+    distinct value. num_buckets ≈ 4× cluster cores.
+
+    ``method`` picks the exchange shape:
+    - ``"full"`` (default): the rows themselves shuffle — collision-safe
+      (texts compared by VALUE within a bucket) and one-pass, but the
+      exchange moves the whole corpus once.
+    - ``"hash_ids"``: only ``(hash128, id)`` rows shuffle (~24 B/doc —
+      ~100× less exchange volume for long documents); the duplicate ids
+      come back to the driver and survivors are kept by a broadcast
+      map-side filter over the UNSHUFFLED input. Texts are equated by a
+      128-bit content hash (two independent 64-bit siphashes), colliding
+      with probability ~2⁻¹²⁸ — vanishing, but not value-compared, and the
+      dropped-id array costs 8 B/duplicate in the object store. Pick this
+      for long-document corpora where full-row exchange dominates."""
+    if method == "hash_ids":
+        return _exact_dedup_hash_ids(ds, text_col, id_col, num_buckets)
+    if method != "full":
+        raise ValueError(f"unknown exact_dedup method {method!r}")
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = _content_hash(t.column(text_col).to_numpy(zero_copy_only=False))
@@ -63,6 +80,56 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .map_groups(keep_first, batch_format="pyarrow")
         .drop_columns(["_b"])
     )
+
+
+def _exact_dedup_hash_ids(ds, text_col: str, id_col: str, num_buckets: int):
+    """Exchange-light exact dedup (see exact_dedup method="hash_ids"):
+    shuffle (h1, h2, id) only, reduce each bucket to its DROPPED ids (all but
+    the min id per distinct 128-bit hash), broadcast the dropped-id array,
+    filter the original dataset map-side — the text bytes never enter an
+    exchange."""
+    import ray
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False).astype(object)
+        h1 = pd.util.hash_array(texts, categorize=False).astype(np.uint64)
+        h2 = pd.util.hash_array(
+            texts, categorize=False, hash_key="wrangler_ray_2nd"
+        ).astype(np.uint64)
+        return pa.table(
+            {
+                "_b": pa.array((h1 % np.uint64(num_buckets)).astype(np.int32)),
+                "h1": pa.array(h1.astype(np.int64)),
+                "h2": pa.array(h2.astype(np.int64)),
+                id_col: t.column(id_col),
+            }
+        )
+
+    def dropped_ids(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        keep = df.groupby(["h1", "h2"], sort=False)[id_col].idxmin()
+        return pa.table(
+            {id_col: pa.array(df[id_col].drop(index=keep).to_numpy())}
+        )
+
+    dropped = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(hash_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(dropped_ids, batch_format="pyarrow")
+    )
+    drop_arr = np.sort(np.concatenate(
+        [t.column(id_col).to_numpy(zero_copy_only=False)
+         for t in dropped.iter_batches(batch_size=None, batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]
+    ))
+    drop_ref = ray.put(drop_arr)
+
+    def remove(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(ids, ray.get(drop_ref))))
+
+    return ds.map_batches(remove, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

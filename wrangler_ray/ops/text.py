@@ -71,7 +71,9 @@ class LanguageId:
         return preds, best_score
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = pd.Series(batch.column(self.text_col).to_pylist())
+        # Arrow-native string conversion — to_pylist() boxed every value
+        # through Python objects before the vectorized profile pass
+        texts = batch.column(self.text_col).to_pandas()
         preds, scores = self.predict_series(texts)
         batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
         return batch.append_column(

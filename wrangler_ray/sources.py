@@ -38,6 +38,12 @@ def detect_format(path: str) -> str:
     """Sniff a file's format: extension first, magic bytes as fallback
     (reference service/FileTypeDetector.java semantics: best-effort, 'text'
     when unknown)."""
+    if os.path.isdir(path):
+        # a directory reads as whatever its first (sorted) data file is
+        for name in sorted(os.listdir(path)):
+            if not name.startswith((".", "_")):
+                return detect_format(os.path.join(path, name))
+        return "text"
     ext = os.path.splitext(path)[1].lower()
     if ext in _EXT_FORMAT:
         return _EXT_FORMAT[ext]
@@ -73,11 +79,35 @@ def read_any(path: str, fmt: str | None = None, **kw):
     if fmt == "binary":
         return rd.read_binary_files(path, **kw)
     if fmt == "avro":
-        raise NotImplementedError(
-            "avro container files need the 'fastavro' dependency (not in this "
-            "environment); parse-as-avro-file covers the per-cell decode path"
-        )
+        return _read_avro(path, **kw)
     raise ValueError(f"unknown format {fmt!r}")
+
+
+def _read_avro(path: str, columns=None, **kw):
+    """Avro object-container files via the in-repo pure-python decoder (the
+    same one behind parse-as-avro-file, directives/avro_reader.py):
+    ``read_binary_files`` distributes WHOLE container files to tasks, each
+    task decodes its file's blocks to an Arrow table. Parallelism is
+    per-file — the natural Avro split unit here (block-level splitting needs
+    a seekable sync-marker scan, which the one-shot read path skips)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def decode(batch: pa.Table) -> pa.Table:
+        from wrangler_ray.directives.avro_reader import read_container
+
+        tabs = []
+        for blob in batch.column("bytes").to_pylist():
+            _schema, records = read_container(blob)
+            t = pa.Table.from_pylist(records)
+            tabs.append(t.select(list(columns)) if columns else t)
+        if not tabs:
+            return pa.Table.from_pylist([])
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return rd.read_binary_files(path, **kw).map_batches(
+        decode, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def write_partitioned_parquet(ds, path: str, partition_cols=None, **kw):
