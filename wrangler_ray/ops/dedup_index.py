@@ -310,9 +310,12 @@ class MinHashDedupIndex:
                 pb = (key % parts).astype(np.int32)
                 return t.drop_columns(["_bkt"]).append_column("pb", pa.array(pb))
 
+            # sorted by key before the partitioned write: each written file's
+            # key row-group stats become tight ranges, so banded_for's
+            # key-isin filter prunes row groups instead of scanning them
             banded.map_batches(
                 band_out, batch_format="pyarrow", zero_copy_batch=True
-            ).write_parquet(
+            ).sort("key").write_parquet(
                 posixpath.join(self.index_dir, "bands", f"incr-{k:06d}"),
                 partition_cols=["pb"],
                 filesystem=self.fs,
