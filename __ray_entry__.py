@@ -183,6 +183,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def prep(t: pa.Table) -> pa.Table:
             import datetime as dt
 
+            # pandas-written parquet metadata makes the schema unhashable —
+            # strip it so the Aggregate shuffle's schema dedup works quietly
+            t = t.replace_schema_metadata(None)
             cutoff = pa.scalar(dt.datetime(1998, 9, 2), pa.timestamp("us"))
             t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
             disc = pc.multiply(

@@ -178,6 +178,6 @@ def drop_non_representatives(ds, labels, id_col: str = "doc_id",
         lab = rows[id_col].map(lab_map)
         keep_mask = lab.isna() | (lab == rows[id_col])
         out = rows[keep_mask].drop(columns=["_cc_side", "_cc_label", "_b"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return data.union(labs).groupby("_b").map_groups(keep, batch_format="pyarrow")

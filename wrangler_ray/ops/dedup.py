@@ -60,7 +60,10 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = _content_hash(t.column(text_col).to_numpy(zero_copy_only=False))
-        return t.append_column(
+        # metadata stripped: parquet files written by pandas carry a dict
+        # that makes the schema unhashable — every shuffle reduce over such
+        # blocks trips Ray's "Failed to hash the schemas" warning
+        return t.replace_schema_metadata(None).append_column(
             "_b", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
         )
 
@@ -72,7 +75,12 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         # output path is slow in Ray 2.49)
         df = g.to_pandas()
         idx = df.groupby(text_col, sort=False, dropna=False)[id_col].idxmin()
-        return pa.Table.from_pandas(df.loc[idx], preserve_index=False)
+        # metadata stripped: from_pandas attaches a pandas dict that makes
+        # the schema UNHASHABLE, so every such block trips Ray's
+        # "Failed to hash the schemas" warning and defeats its schema dedup
+        return pa.Table.from_pandas(
+            df.loc[idx], preserve_index=False
+        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
@@ -1191,7 +1199,9 @@ def embedding_dedup(
         def keep_first_vec(g: pa.Table) -> pa.Table:
             df = g.to_pandas()
             idx = df.groupby(["_vh1", "_vh2"], sort=False)[id_col].idxmin()
-            return pa.Table.from_pandas(df.loc[idx], preserve_index=False)
+            return pa.Table.from_pandas(
+            df.loc[idx], preserve_index=False
+        ).replace_schema_metadata(None)
 
         ds = (
             ds.map_batches(add_vec_key, batch_format="pyarrow", zero_copy_batch=True)

@@ -167,6 +167,6 @@ def asof_join(
         merged = pd.merge_asof(
             l, r, on=ts_col, by=key, direction=direction, suffixes=("", "_r")
         )
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        return pa.Table.from_pandas(merged, preserve_index=False).replace_schema_metadata(None)
 
     return both.groupby("_jb").map_groups(merge_bucket, batch_format="pyarrow")
