@@ -557,7 +557,10 @@ def minhash_lsh_dedup(
     borderline estimate band."""
     assert num_perm % bands == 0
     if pre_exact:
-        ds = exact_dedup(ds, text_col=text_col, id_col=id_col)
+        # materialized: the deduped result is consumed up to three times
+        # (signing, borderline text fetch, final survivor filter) — left
+        # lazy, each consumption re-executes the full exact-dedup exchange
+        ds = exact_dedup(ds, text_col=text_col, id_col=id_col).materialize()
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
 
@@ -1058,7 +1061,8 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
     minhash_lsh_dedup)."""
 
     if pre_exact:
-        ds = exact_dedup(ds, text_col=text_col, id_col=id_col)
+        # materialized — consumed twice (signing + survivor filter)
+        ds = exact_dedup(ds, text_col=text_col, id_col=id_col).materialize()
     num_buckets = 64
 
     def sign(t: pa.Table) -> pa.Table:
@@ -1208,7 +1212,7 @@ def embedding_dedup(
             .groupby("_vb")
             .map_groups(keep_first_vec, batch_format="pyarrow")
             .drop_columns(["_vh1", "_vh2", "_vb"])
-        )
+        ).materialize()  # consumed by dim probe + signing + survivor filter
 
     if dim is None:
         first = ds.take(1)[0]

@@ -251,7 +251,10 @@ class MinHashDedupIndex:
                 f"({self.meta['id_col']}, {self.meta['text_col']}) columns, "
                 f"got ({id_col}, {text_col})"
             )
-        ds = exact_dedup(ds, text_col=text_col, id_col=id_col)
+        # materialized: the deduped increment is consumed several times
+        # downstream (signing, banding, borderline fetch, survivor filter,
+        # text write) — lazy, each consumption re-runs the exchange
+        ds = exact_dedup(ds, text_col=text_col, id_col=id_col).materialize()
 
         indexed = None
         if self.meta["incr"] > 0:
