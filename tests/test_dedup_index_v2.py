@@ -204,6 +204,34 @@ def test_v1_legacy_index_still_works(ray_session, tmp_path):
     assert not os.path.isdir(os.path.join(work, "bands", "incr-000001"))
 
 
+def test_banded_index_distributed_tail(ray_session, tmp_path):
+    """The no-driver-state distributed finish also works against the banded
+    index (historical signatures unioned for the sig-attach stages) and
+    agrees with the driver union-find path and the batch run."""
+    from wrangler_ray.ops.dedup import exact_dedup, minhash_lsh_dedup
+    from wrangler_ray.ops.dedup_index import MinHashDedupIndex
+
+    ids, texts = _corpus()
+    idx = MinHashDedupIndex(str(tmp_path / "idx"), jaccard_threshold=0.7)
+    k1 = sorted(idx.dedup_increment(_mk(ids, texts, 0, 10)).to_pandas()["doc_id"])
+
+    inc2 = exact_dedup(_mk(ids, texts, 10, 20)).materialize()
+    k2_driver = sorted(
+        minhash_lsh_dedup(inc2, jaccard_threshold=0.7, pre_exact=False,
+                          indexed=idx).to_pandas()["doc_id"]
+    )
+    k2_dist = sorted(
+        minhash_lsh_dedup(inc2, jaccard_threshold=0.7, pre_exact=False,
+                          indexed=idx, distributed=True).to_pandas()["doc_id"]
+    )
+    batch = sorted(
+        minhash_lsh_dedup(_mk(ids, texts, 0, 20), jaccard_threshold=0.7)
+        .to_pandas()["doc_id"]
+    )
+    assert k2_dist == k2_driver
+    assert sorted(k1 + k2_dist) == batch
+
+
 def test_column_name_mismatch_raises(ray_session, tmp_path):
     import ray.data as rd
 
