@@ -33,6 +33,16 @@ whose staged file already exists is skipped (resume); the commit is a single
 atomic ``os.replace`` of the manifest pointer. Replaying any suffix of the
 log is idempotent because the merge is last-writer-wins on ``_lsn``.
 
+Deployment shape: ``table_dir`` must live on CLUSTER-SHARED POSIX storage
+(NFS/Lustre/EFS-style) — map tasks write spill files that merge tasks on
+other nodes ``memory_map``, and the manifest commit is an atomic rename.
+That is the classic external-shuffle + lake layout; a pure object-store
+table would need the exchange re-hosted (Ray object store or per-node
+scratch with node-affinity merges) and a put-if-absent commit — the two
+persisted INDEX structures (ops/dedup_index.py, ops/ann_index.py) are
+already object-store-capable via pyarrow.fs because they have no mmap
+exchange.
+
 Scale notes (100 TB design point):
 - ``num_partitions`` should be ≥ 2× cluster cores; one partition = one merge
   task = one output file → bounded memory per task regardless of total size.
