@@ -59,6 +59,38 @@ def test_exact_dedup_hash_ids_matches_full(ray_session):
         exact_dedup(ds, method="bogus")
 
 
+def test_minhash_pre_exact_hash_ids_matches_default(ray_session):
+    """pre_exact='hash_ids' (exchange-light pre-pass) keeps exactly the
+    default pre-pass survivors through the full LSH pipeline."""
+    import ray.data as rd
+
+    from wrangler_ray.ops.dedup import minhash_lsh_dedup
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away",
+        "a completely different document about streaming dataflow engines",
+    ]
+    texts, ids = [], []
+    i = 0
+    for t in base:
+        for sfx in ("", "", "!", " indeed"):
+            texts.append(t + sfx)
+            ids.append(i)
+            i += 1
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    default = sorted(
+        minhash_lsh_dedup(ds, jaccard_threshold=0.7).to_pandas()["doc_id"]
+    )
+    light = sorted(
+        minhash_lsh_dedup(ds, jaccard_threshold=0.7, pre_exact="hash_ids")
+        .to_pandas()["doc_id"]
+    )
+    assert light == default
+
+
 def test_minhash_pre_exact_keeps_null_text_rows(ray_session):
     import ray.data as rd
 

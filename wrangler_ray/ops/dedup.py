@@ -492,7 +492,7 @@ def minhash_lsh_dedup(
     distributed: bool = False,
     max_driver_edges: int = 4_000_000,
     pair_cap: int = 256,
-    pre_exact: bool = True,
+    pre_exact=True,  # True | False | "hash_ids"
     indexed=None,
     return_artifacts: bool = False,
     max_broadcast_keys: int = 4_000_000,
@@ -502,8 +502,12 @@ def minhash_lsh_dedup(
     cluster. Returns the deduplicated Dataset.
 
     ``pre_exact`` first collapses byte-identical texts with the cheap
-    exact_dedup pass (keep min id per distinct text). This is semantics-
-    preserving — identical texts have identical shingle sets, so Jaccard
+    exact_dedup pass (keep min id per distinct text); pass the string
+    ``"hash_ids"`` to run that pre-pass through the exchange-light method
+    (only (hash128, id) rows shuffle — see exact_dedup) for long-document
+    corpora where the pre-pass full-row exchange would dominate. This is
+    semantics-preserving — identical texts have identical shingle sets, so
+    Jaccard
     1.0 ≥ any threshold and every copy always lands in its original's
     cluster with the group minimum id — but on dup-heavy corpora (crawl
     data) it shrinks signature work linearly and candidate-edge volume
@@ -559,8 +563,14 @@ def minhash_lsh_dedup(
     if pre_exact:
         # materialized: the deduped result is consumed up to three times
         # (signing, borderline text fetch, final survivor filter) — left
-        # lazy, each consumption re-executes the full exact-dedup exchange
-        ds = exact_dedup(ds, text_col=text_col, id_col=id_col).materialize()
+        # lazy, each consumption re-executes the full exact-dedup exchange.
+        # pre_exact="hash_ids" routes the pre-pass through the exchange-light
+        # exact_dedup (only (hash128, id) rows shuffle — the full-row
+        # exchange IS the corpus-size exchange at 100 TB)
+        method = pre_exact if isinstance(pre_exact, str) else "full"
+        ds = exact_dedup(
+            ds, text_col=text_col, id_col=id_col, method=method
+        ).materialize()
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
 
@@ -1050,7 +1060,7 @@ def simhash64_batch(texts) -> np.ndarray:
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
                   distributed: bool = False, max_driver_edges: int = 4_000_000,
-                  pair_cap: int = 256, pre_exact: bool = True):
+                  pair_cap: int = 256, pre_exact=True):
     """SimHash near-dup: 64-bit signature, 4×16-bit band blocking (any pair
     within hamming ≤3 shares at least one exact 16-bit band), verify hamming
     within buckets, drop non-representatives. ``distributed=True`` clusters
@@ -1061,8 +1071,12 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", max_hammin
     minhash_lsh_dedup)."""
 
     if pre_exact:
-        # materialized — consumed twice (signing + survivor filter)
-        ds = exact_dedup(ds, text_col=text_col, id_col=id_col).materialize()
+        # materialized — consumed twice (signing + survivor filter);
+        # pre_exact="hash_ids" → exchange-light pre-pass (see minhash)
+        method = pre_exact if isinstance(pre_exact, str) else "full"
+        ds = exact_dedup(
+            ds, text_col=text_col, id_col=id_col, method=method
+        ).materialize()
     num_buckets = 64
 
     def sign(t: pa.Table) -> pa.Table:
