@@ -1309,6 +1309,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             t, {"q_punct_ratio": 6, "q_stop_ratio": 6, "q_mean_wordlen": 6}
         )
 
+    def training_prep_pipeline(sf_dir):
+        # COMPOSED LLM-data-prep pipeline, one exact SQL oracle end to end:
+        # Gopher-style quality gate → exact dedup (min id per distinct text
+        # among the survivors) → whitespace token counts — three streaming
+        # stages whose composition, not just each stage alone, is certified
+        from wrangler_ray.ops.dedup import exact_dedup
+        from wrangler_ray.ops.text import quality_filter, token_counts
+
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        ds = quality_filter(
+            ds, min_words=5, max_punct_ratio=0.3, min_stop_ratio=0.02
+        )
+        ds = exact_dedup(ds)
+        return token_counts(ds).drop_columns(["n_bpe_tokens", "text"])
+
     def quality_filter_docs(sf_dir):
         # Gopher-style quality gate: the kept doc_ids must equal the SQL
         # re-derivation of every rule (word count, mean word length, punct
@@ -1457,6 +1472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_avro_roundtrip": source_avro_roundtrip,
         "dedup_exact_hash_ids_docs": dedup_exact_hash_ids_docs,
         "similarity_multiquery_topk": similarity_multiquery_topk,
+        "training_prep_pipeline": training_prep_pipeline,
         # -- never driver-certified
         "dedup_lsh_exact_invariant": dedup_lsh_exact_invariant,
         "dedup_index_incremental_invariant": dedup_index_incremental_invariant,
@@ -2125,6 +2141,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_avro_roundtrip": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "training_prep_pipeline": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS s,
+                       text,
+                       regexp_extract_all(coalesce(text, ''), '[A-Za-z'']+') AS words
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, text,
+                       len(words) AS n_words,
+                       len(regexp_extract_all(s, '[^\w\s]'))
+                           / greatest(length(s), 1) AS punct_ratio,
+                       len(list_filter(words, w -> lower(w) IN (
+                           'the','and','of','a','to','in','is','it','that','for',
+                           'on','as','with','was','at','by','an','be','this','are')))
+                           / greatest(len(words), 1) AS stop_ratio,
+                       CASE WHEN len(words) > 0
+                            THEN CAST(len(regexp_extract_all(s, '[A-Za-z'']')) AS DOUBLE)
+                                 / len(words) ELSE 0 END AS mean_wl
+                FROM t
+            ),
+            kept AS (
+                SELECT doc_id, text FROM m
+                WHERE n_words BETWEEN 5 AND 100000
+                  AND mean_wl BETWEEN 3.0 AND 10.0
+                  AND punct_ratio <= 0.3
+                  AND stop_ratio >= 0.02
+            ),
+            dedup AS (
+                SELECT k.doc_id, k.text FROM kept k
+                JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text) r
+                  ON k.doc_id = r.doc_id
+            )
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
+            FROM dedup
         """,
         "quality_filter_docs": r"""
             WITH t AS (
