@@ -169,6 +169,47 @@ def test_ivf_index_crash_rerun_no_duplicate_ids(ray_session, tmp_path):
     assert ids[0] == 45
 
 
+def test_ivf_index_compact_preserves_results(ray_session, tmp_path):
+    """compact() folds many per-append increments into one file set per
+    cell; queries (and a reopened handle, and a post-compact append) return
+    exactly what the uncompacted index returned."""
+    import ray.data as rd
+
+    from wrangler_ray.ops.ann_index import IvfIndex
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(120, 8).astype(np.float32)
+
+    def mk(lo, hi):
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(lo, hi), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs[lo:hi]],
+                pa.list_(pa.float32())),
+        }))
+
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    idx.build(mk(0, 40), num_clusters=4, seed=3)
+    for lo in (40, 60, 80):
+        idx.append(mk(lo, lo + 20))
+    before = idx.query(vecs[:3], k=7, nprobe=4).to_pandas()
+    n = idx.compact()
+    assert n == 100
+    assert len(idx._committed_incr_dirs()) == 1
+    after = idx.query(vecs[:3], k=7, nprobe=4).to_pandas()
+    key = ["query_idx", "vec_id"]
+    assert before.sort_values(key).reset_index(drop=True)[key].equals(
+        after.sort_values(key).reset_index(drop=True)[key]
+    )
+    # a reopened handle and a post-compact append keep working
+    idx2 = IvfIndex(str(tmp_path / "ivf"))
+    assert idx2.append(mk(100, 120)) == 20
+    hit = idx2.query(vecs[110], k=1, nprobe=4).to_pandas()
+    assert hit["vec_id"].tolist() == [110]
+    # compacting again folds the post-compact append in
+    assert idx2.compact() == 120
+
+
 def test_ivf_index_on_injected_filesystem(ray_session, tmp_path):
     """The index runs against an injected pyarrow SubTreeFileSystem (the
     object-store portability seam) — no os.path/glob assumptions."""

@@ -59,11 +59,57 @@ class IvfIndex:
 
     def _committed_incr_dirs(self) -> list[str]:
         root = posixpath.join(self.index_dir, "cells")
+        live = self.meta.get("live_incrs")
+        names = (
+            [f"incr-{int(k):06d}" for k in live]
+            if live is not None
+            else None
+        )
         return [
             posixpath.join(root, d)
             for d in fsio.list_subdirs(self.fs, root)
-            if d.startswith("incr-") and int(d.split("-")[1]) < self.meta["incr"]
+            if d.startswith("incr-")
+            and (d in names if names is not None
+                 else int(d.split("-")[1]) < self.meta["incr"])
         ]
+
+    def compact(self) -> int:
+        """Fold every committed increment into ONE consolidated increment —
+        after many appends each probed cell spans many small files (read
+        amplification grows with append count); compaction restores one file
+        set per cell. Crash-safe like build/append: the consolidated
+        increment only becomes visible at the meta commit, which also
+        switches ``live_incrs`` to it; the old increment directories are
+        deleted AFTER the commit (a crash between commit and cleanup leaves
+        dead dirs that the next compact sweeps). Returns rows compacted."""
+        import ray.data as rd
+
+        if self.meta is None:
+            raise ValueError("index not built")
+        old_dirs = self._committed_incr_dirs()
+        if len(old_dirs) <= 1:
+            return 0
+        k = self.meta["incr"]
+        files = [
+            f for d in old_dirs for f in fsio.list_parquet(self.fs, d, recursive=True)
+        ]
+        # cell assignment is deterministic from the frozen centroids, so the
+        # consolidated increment is just a re-run of assign-and-write over
+        # the raw (id, vec) rows — same c for every vector. columns= drops
+        # the hive partition column pyarrow infers from the file PATHS
+        # (which would collide with the fresh assignment)
+        ds = rd.read_parquet(
+            files,
+            columns=[self.meta["id_col"], self.meta["vec_col"]],
+            filesystem=self.fs,
+        )
+        n = self._assign_and_write(ds, self.meta["vec_col"], self.meta["id_col"])
+        self.meta["incr"] = k + 1
+        self.meta["live_incrs"] = [k]
+        self._commit_meta()
+        for d in old_dirs:
+            fsio.delete_dir(self.fs, d)
+        return n
 
     def _assign_and_write(self, ds, vec_col: str, id_col: str) -> int:
         """Assign every vector to its nearest centroid and write one
@@ -149,6 +195,8 @@ class IvfIndex:
             raise ValueError("index not built")
         n = self._assign_and_write(ds, self.meta["vec_col"], self.meta["id_col"])
         self.meta["count"] += n
+        if self.meta.get("live_incrs") is not None:  # post-compaction layout
+            self.meta["live_incrs"].append(self.meta["incr"])
         self.meta["incr"] += 1
         self._commit_meta()
         return n
