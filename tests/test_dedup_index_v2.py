@@ -232,6 +232,38 @@ def test_banded_index_distributed_tail(ray_session, tmp_path):
     assert sorted(k1 + k2_dist) == batch
 
 
+def test_index_compact_preserves_dedup(ray_session, tmp_path):
+    """compact() folds the per-increment texts/signatures/band dirs into one
+    consolidated increment; subsequent increments dedup exactly as before
+    and the invariant against the batch run still holds."""
+    from wrangler_ray.ops.dedup import minhash_lsh_dedup
+    from wrangler_ray.ops.dedup_index import MinHashDedupIndex
+
+    ids, texts = _corpus()
+    work = str(tmp_path / "idx")
+    idx = MinHashDedupIndex(work, jaccard_threshold=0.7, sig_parts=8)
+    kept = []
+    for lo, hi in ((0, 5), (5, 10), (10, 14)):
+        kept += idx.dedup_increment(_mk(ids, texts, lo, hi)).to_pandas()["doc_id"].tolist()
+    n = idx.compact()
+    assert n == len(kept)
+    # one consolidated increment remains on disk
+    assert len({d for d in os.listdir(os.path.join(work, "texts"))}) >= 1
+    assert idx.meta["live_incrs"] == [3]
+    # a reopened handle keeps deduping against the compacted history
+    idx2 = MinHashDedupIndex(work, jaccard_threshold=0.7, sig_parts=8)
+    kept += idx2.dedup_increment(_mk(ids, texts, 14, 20)).to_pandas()["doc_id"].tolist()
+    batch = sorted(
+        minhash_lsh_dedup(_mk(ids, texts, 0, 20), jaccard_threshold=0.7)
+        .to_pandas()["doc_id"]
+    )
+    assert sorted(kept) == batch
+    # compacting a single-increment index is a no-op
+    idx3 = MinHashDedupIndex(work, jaccard_threshold=0.7, sig_parts=8)
+    idx3.compact()
+    assert idx3.compact() == 0
+
+
 def test_column_name_mismatch_raises(ray_session, tmp_path):
     import ray.data as rd
 

@@ -123,16 +123,93 @@ class MinHashDedupIndex:
     def _incr_files(self, kind: str, sub: str | None = None) -> list:
         """Parquet files of every COMMITTED increment under ``kind`` (an
         increment that crashed before its meta commit leaves orphan dirs —
-        ignored); ``sub`` narrows to one partition subdir per increment."""
+        ignored; after a compact() only ``live_incrs`` count); ``sub``
+        narrows to one partition subdir per increment."""
         root = posixpath.join(self.index_dir, kind)
+        live = self.meta.get("live_incrs")
+        names = [f"incr-{int(j):06d}" for j in live] if live is not None else None
         files: list = []
         for d in fsio.list_subdirs(self.fs, root):
-            if d.startswith("incr-") and int(d.split("-")[1]) < self.meta["incr"]:
-                p = posixpath.join(root, d)
-                if sub is not None:
-                    p = posixpath.join(p, sub)
-                files.extend(fsio.list_parquet(self.fs, p))
+            if not d.startswith("incr-"):
+                continue
+            if (d not in names) if names is not None else (
+                int(d.split("-")[1]) >= self.meta["incr"]
+            ):
+                continue
+            p = posixpath.join(root, d)
+            if sub is not None:
+                p = posixpath.join(p, sub)
+            # band files nest one level deeper (pb=J/) — recurse so a
+            # sub-less listing (compaction) still sees them
+            files.extend(fsio.list_parquet(self.fs, p, recursive=sub is None))
         return files
+
+    def compact(self) -> int:
+        """Fold every committed increment's texts / signatures / band rows
+        into ONE consolidated increment — per-increment file counts grow
+        with ingest age, and ``banded_for`` lists one directory per
+        (increment × pb partition). Rows are re-sorted (texts/signatures by
+        id, band rows by key) so the id- and key-filter pushdowns keep tight
+        row-group stats. Crash-safe like an increment: the consolidated
+        directories only become visible at the meta commit (live_incrs
+        switch); old directories are deleted after. Returns docs
+        consolidated."""
+        import ray.data as rd
+
+        if self.meta.get("layout", 1) < 2:
+            raise ValueError("compact() requires the v2 (banded) layout")
+        if self.meta["incr"] == 0:
+            return 0
+        old = {k: self._incr_files(k) for k in ("texts", "signatures", "bands")}
+        n_dirs = len({posixpath.dirname(f) for f in old["texts"]})
+        if n_dirs <= 1:
+            return 0
+        id_col = self.meta["id_col"]
+        k = self.meta["incr"]
+        for kind in ("texts", "signatures", "bands"):
+            fsio.delete_dir(
+                self.fs, posixpath.join(self.index_dir, kind, f"incr-{k:06d}")
+            )
+        texts = rd.read_parquet(old["texts"], filesystem=self.fs).sort(id_col)
+        texts = texts.materialize()
+        n = texts.count()
+        texts.write_parquet(
+            posixpath.join(self.index_dir, "texts", f"incr-{k:06d}"),
+            filesystem=self.fs,
+        )
+        rd.read_parquet(old["signatures"], filesystem=self.fs).sort(
+            id_col
+        ).write_parquet(
+            posixpath.join(self.index_dir, "signatures", f"incr-{k:06d}"),
+            filesystem=self.fs,
+        )
+        parts = self.meta["sig_parts"]
+
+        def re_pb(t: pa.Table) -> pa.Table:
+            # band files carry (band, key, id, dig); pyarrow re-infers the pb
+            # partition from file paths as a string — rebuild it as int32
+            key = t.column("key").to_numpy(zero_copy_only=False)
+            cols = {c: t.column(c) for c in ("band", "key", id_col, "dig")}
+            cols["pb"] = pa.array((key % parts).astype(np.int32))
+            return pa.table(cols)
+
+        rd.read_parquet(old["bands"], filesystem=self.fs).map_batches(
+            re_pb, batch_format="pyarrow", zero_copy_batch=True
+        ).sort("key").write_parquet(
+            posixpath.join(self.index_dir, "bands", f"incr-{k:06d}"),
+            partition_cols=["pb"],
+            filesystem=self.fs,
+        )
+        self.meta["incr"] = k + 1
+        self.meta["live_incrs"] = [k]
+        self._commit_meta()
+        old_dirs = {posixpath.dirname(f) for files in old.values() for f in files}
+        for d in sorted(old_dirs):
+            # band files live one level deeper (pb=J); delete the incr root
+            if posixpath.basename(d).startswith("pb="):
+                d = posixpath.dirname(d)
+            fsio.delete_dir(self.fs, d)
+        return n
 
     def _commit_meta(self) -> None:
         fsio.write_json_atomic(self.fs, self.meta_path, self.meta)
@@ -328,6 +405,8 @@ class MinHashDedupIndex:
         if n_kept:
             self.meta["watermark"] = int(out.max(id_col))
         self.meta["count"] += int(n_kept)
+        if self.meta.get("live_incrs") is not None:  # post-compaction layout
+            self.meta["live_incrs"].append(k)
         self.meta["incr"] = k + 1
         self._commit_meta()
         return out
