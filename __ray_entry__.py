@@ -1235,6 +1235,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "text", "lang", "source", "n_chars"]
         )
 
+    def dedup_index_compacted_invariant(sf_dir):
+        # compact() mid-ingest must not change semantics: two increments,
+        # compact, two more increments — the survivor union must STILL equal
+        # the batch run (same SQL oracle as the other index invariants)
+        from wrangler_ray.ops.dedup_index import MinHashDedupIndex
+
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        ids = docs.column("doc_id").to_numpy()
+        qs = np.quantile(ids, [0.25, 0.5, 0.75])
+        idx = MinHashDedupIndex(
+            tempfile.mkdtemp(prefix="wr_dedup_idxc_"),
+            num_perm=128, bands=32, shingle_k=50, jaccard_threshold=1.0,
+            sig_parts=16,
+        )
+        import ray.data as rd
+
+        bounds = [ids.min() - 1, *qs, ids.max()]
+        parts = []
+        for i, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+            inc = rd.from_arrow(
+                docs.filter(pa.array((ids > lo) & (ids <= hi)))
+            ).repartition(4)
+            out = idx.dedup_increment(inc)
+            parts.append(
+                pa.concat_tables(
+                    out.iter_batches(batch_size=None, batch_format="pyarrow")
+                )
+            )
+            if i == 1:
+                idx.compact()
+        return pa.concat_tables(parts).select(
+            ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+
+    def similarity_ivf_index_compact_invariant(sf_dir):
+        # persisted IVF after an append + compact() still returns the exact
+        # brute-force (SQL) top-k at nprobe=all — certifies the consolidated
+        # layout end to end
+        from wrangler_ray.ops.ann_index import IvfIndex
+
+        emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        q = np.asarray(emb.column("embedding").to_pylist()[0], np.float32)[None, :]
+        vid = emb.column("vec_id").to_numpy()
+        mid = int(np.median(vid))
+        import ray.data as rd
+
+        idx = IvfIndex(tempfile.mkdtemp(prefix="wr_ivf_idxc_"))
+        idx.build(rd.from_arrow(emb.filter(pa.array(vid <= mid))),
+                  num_clusters=8, seed=3)
+        idx.append(rd.from_arrow(emb.filter(pa.array(vid > mid))))
+        idx.compact()
+        out = idx.query(q, k=5, nprobe=8)
+        return _round_cols(out.drop_columns(["query_idx"]), {"score": 3})
+
     def similarity_ivf_index_invariant(sf_dir):
         # the PERSISTED IVF index at nprobe=all cells reads every cell back
         # from its partitioned parquet layout and must return exactly the
@@ -1473,6 +1527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_hash_ids_docs": dedup_exact_hash_ids_docs,
         "similarity_multiquery_topk": similarity_multiquery_topk,
         "training_prep_pipeline": training_prep_pipeline,
+        "dedup_index_compacted_invariant": dedup_index_compacted_invariant,
+        "similarity_ivf_index_compact_invariant": similarity_ivf_index_compact_invariant,
         # -- never driver-certified
         "dedup_lsh_exact_invariant": dedup_lsh_exact_invariant,
         "dedup_index_incremental_invariant": dedup_index_incremental_invariant,
@@ -2078,6 +2134,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY k) reps
               ON d.doc_id = reps.doc_id
         """,
+        "dedup_index_compacted_invariant": """
+            WITH keyed AS (
+                SELECT *, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k
+                FROM documents
+            )
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM keyed d
+            JOIN (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY k) reps
+              ON d.doc_id = reps.doc_id
+        """,
         "dedup_simhash_invariant": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY doc_id % 8 ORDER BY doc_id
@@ -2216,6 +2282,14 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 5
         """,
         "similarity_ivf_index_invariant": """
+            WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding, (SELECT e FROM q)), 3) AS score
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC, vec_id
+            LIMIT 5
+        """,
+        "similarity_ivf_index_compact_invariant": """
             WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
             SELECT vec_id,
                    round(list_cosine_similarity(embedding, (SELECT e FROM q)), 3) AS score
