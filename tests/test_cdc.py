@@ -578,3 +578,48 @@ def test_schema_promotion_and_fallback():
     s_weird = pa.schema([("v", pa.struct([("a", pa.int8())]))])
     u2 = unified_schema([s_int, s_weird])
     assert u2.field("v").type == pa.string()
+
+
+def test_cdc_table_on_injected_filesystem(tmp_path, stream, ray_session):
+    """The table's durable state (manifests, data, staged files) runs
+    against an injected pyarrow SubTreeFileSystem — the object-store
+    portability seam — with the mmap spill exchange on an explicit POSIX
+    scratch path. Full replay parity, MOR apply, compaction, time travel,
+    point lookup and vacuum all through the injected fs."""
+    import pyarrow.fs as pafs
+    import ray.data as rd
+
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    scratch = str(tmp_path / "scratch")
+    table = CdcTable("lake", num_partitions=8, filesystem=fs,
+                     spill_scratch=scratch)
+    table.init_from_snapshot(rd.read_parquet(stream["base"]))
+    table.apply_changes(stream["segments"][:2])
+    v_after_two = table.latest_manifest()["version"]
+    table.apply_changes(stream["segments"][2:], mode="mor")
+    oracle = replay_oracle(stream["base"], stream["segments"])
+    assert_tables_equal(table.read_arrow(), oracle)
+
+    # compaction folds the MOR deltas; parity preserved
+    table.compact()
+    assert not table._has_deltas()
+    assert_tables_equal(table.read_arrow(), oracle)
+
+    # time travel to the pre-MOR version still reads
+    early = table.read_arrow(version=v_after_two)
+    partial_oracle = replay_oracle(stream["base"], stream["segments"][:2])
+    assert_tables_equal(early, partial_oracle)
+
+    # point lookup through the injected fs (oracle is a pandas frame)
+    conv = oracle["conv_id"].iloc[0]
+    got = table.lookup_conversation(conv)
+    assert got.num_rows == int((oracle["conv_id"] == conv).sum())
+
+    # vacuum removes unreferenced versions without touching live data
+    res = table.vacuum(keep_versions=1)
+    assert res["removed_manifests"] >= 1
+    assert_tables_equal(table.read_arrow(), oracle)
+
+    # a non-local filesystem without explicit scratch is refused
+    with pytest.raises(ValueError, match="spill_scratch"):
+        CdcTable("lake2", filesystem=fs)

@@ -33,15 +33,16 @@ whose staged file already exists is skipped (resume); the commit is a single
 atomic ``os.replace`` of the manifest pointer. Replaying any suffix of the
 log is idempotent because the merge is last-writer-wins on ``_lsn``.
 
-Deployment shape: ``table_dir`` must live on CLUSTER-SHARED POSIX storage
-(NFS/Lustre/EFS-style) — map tasks write spill files that merge tasks on
-other nodes ``memory_map``, and the manifest commit is an atomic rename.
-That is the classic external-shuffle + lake layout; a pure object-store
-table would need the exchange re-hosted (Ray object store or per-node
-scratch with node-affinity merges) and a put-if-absent commit — the two
-persisted INDEX structures (ops/dedup_index.py, ops/ann_index.py) are
-already object-store-capable via pyarrow.fs because they have no mmap
-exchange.
+Deployment shape: the table's DURABLE state (manifests, data files, staged
+outputs) goes through ``pyarrow.fs`` (``filesystem=`` injectable), so the
+lake itself can live on an object store. The spill EXCHANGE is different:
+map tasks write Arrow-IPC files that merge tasks on other nodes
+``memory_map``, so ``spill_scratch`` must be CLUSTER-SHARED POSIX storage
+(NFS/Lustre/EFS-style — the classic external-shuffle scratch). With the
+default local filesystem the scratch defaults to the table's own staging
+area and nothing changes; with a remote table filesystem pass
+``spill_scratch=`` explicitly (a pure object-store exchange would need the
+spills re-hosted in the Ray object store or node-affinity merges).
 
 Scale notes (100 TB design point):
 - ``num_partitions`` should be ≥ 2× cluster cores; one partition = one merge
@@ -58,7 +59,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import tempfile
+import posixpath
 from typing import Optional, Union
 
 import numpy as np
@@ -68,6 +69,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from wrangler_ray.core.schema import concat_reconciled, unified_schema, unify_to_schema
+from wrangler_ray.ops import fsio
 
 class ConcurrentCommitError(RuntimeError):
     """Another transaction committed first (optimistic concurrency check)."""
@@ -93,9 +95,10 @@ def _turn_salt(turn_idx: np.ndarray, n_subs: int) -> np.ndarray:
     return (turn_idx.astype(np.int64) % n_subs).astype(np.int32)
 
 
-def _file_digest(path: str) -> str:
+def _file_digest(path: str, fs=None) -> str:
     h = hashlib.sha256()
-    with open(path, "rb") as f:
+    opener = fs.open_input_stream if fs is not None else lambda p: open(p, "rb")
+    with opener(path) as f:
         for chunk in iter(lambda: f.read(1 << 20), b""):
             h.update(chunk)
     return h.hexdigest()
@@ -246,12 +249,18 @@ class MergePartition:
         table_dir: str,
         txn_id: str,
         current_files: dict[int, list],
+        fs=None,
+        spill_dir: Optional[str] = None,
     ):
+        import pyarrow.fs as pafs
+
         self.table_dir = table_dir
         self.txn_id = txn_id
         self.current_files = current_files
-        self.staging_dir = os.path.join(table_dir, "staging", txn_id)
-        self.spill_dir = os.path.join(self.staging_dir, "spills")
+        self.fs = fs if fs is not None else pafs.LocalFileSystem()
+        self.staging_dir = posixpath.join(table_dir, "staging", txn_id)
+        # spills are mmap'd — always a POSIX path (shared scratch)
+        self.spill_dir = spill_dir or posixpath.join(self.staging_dir, "spills")
         self._readers: dict[str, pa.ipc.RecordBatchFileReader] = {}
 
     def _read_spill_batches(self, spills: list) -> pa.Table:
@@ -278,14 +287,14 @@ class MergePartition:
             mor = bool(row.get("mor", False))
             stem = f"p{part:05d}" if n_subs <= 1 else f"p{part:05d}-s{sub:02d}"
             name = f"{stem}-delta.parquet" if mor else f"{stem}.parquet"
-            staged = os.path.join(self.staging_dir, name)
+            staged = posixpath.join(self.staging_dir, name)
             changes = self._read_spill_batches(json.loads(row["spills"]))
             if n_subs > 1:
                 changes = self._sub_filter(changes, sub, n_subs)
-            if os.path.exists(staged):
+            if fsio.exists(self.fs, staged):
                 # resume: already merged in a previous (crashed) attempt of
                 # the same transaction — idempotent skip.
-                meta = pq.read_metadata(staged)
+                meta = pq.read_metadata(staged, filesystem=self.fs)
                 out.append(self._lineage(part, sub, staged, meta.num_rows, changes, mor))
                 continue
             if mor:
@@ -295,7 +304,10 @@ class MergePartition:
             else:
                 tables = [changes]
                 for cur_path in self.current_files.get(part, []):
-                    cur = pq.read_table(os.path.join(self.table_dir, cur_path))
+                    cur = pq.read_table(
+                        posixpath.join(self.table_dir, cur_path),
+                        filesystem=self.fs,
+                    )
                     if n_subs > 1:
                         cur = self._sub_filter(cur, sub, n_subs)
                     tables.append(cur)
@@ -304,10 +316,11 @@ class MergePartition:
                 merged, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
             )
             merged = merged.take(idx)
-            os.makedirs(self.staging_dir, exist_ok=True)
+            self.fs.create_dir(self.staging_dir, recursive=True)
             tmp = staged + ".tmp"
-            pq.write_table(merged, tmp)
-            os.replace(tmp, staged)
+            with self.fs.open_output_stream(tmp) as sink:
+                pq.write_table(merged, sink)
+            self.fs.move(tmp, staged)
             out.append(self._lineage(part, sub, staged, merged.num_rows, changes, mor))
         return pa.concat_tables(out)
 
@@ -324,7 +337,7 @@ class MergePartition:
                 "changes_applied": pa.array([changes.num_rows], pa.int64()),
                 "watermark_lsn": pa.array([wm], pa.int64()),
                 "file": pa.array([staged], pa.string()),
-                "sha256": pa.array([_file_digest(staged)], pa.string()),
+                "sha256": pa.array([_file_digest(staged, self.fs)], pa.string()),
                 "delta": pa.array([mor], pa.bool_()),
             }
         )
@@ -336,21 +349,26 @@ class _CompactPartition:
     staged file, return a lineage row (changes_applied=0 — compaction moves
     no new data)."""
 
-    def __init__(self, table_dir: str, txn_id: str):
+    def __init__(self, table_dir: str, txn_id: str, fs=None):
+        import pyarrow.fs as pafs
+
         self.table_dir = table_dir
         self.txn_id = txn_id
-        self.staging_dir = os.path.join(table_dir, "staging", txn_id)
+        self.fs = fs if fs is not None else pafs.LocalFileSystem()
+        self.staging_dir = posixpath.join(table_dir, "staging", txn_id)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for row in batch.to_pylist():
             part = int(row["part"])
             files = json.loads(row["files"])
-            staged = os.path.join(self.staging_dir, f"p{part:05d}.parquet")
-            if not os.path.exists(staged):
+            staged = posixpath.join(self.staging_dir, f"p{part:05d}.parquet")
+            if not fsio.exists(self.fs, staged):
                 merged = apply_lww_semantics(
                     concat_reconciled(
-                        [pq.read_table(os.path.join(self.table_dir, f)) for f in files]
+                        [pq.read_table(posixpath.join(self.table_dir, f),
+                                       filesystem=self.fs)
+                         for f in files]
                     )
                 )
                 idx = pc.sort_indices(
@@ -358,11 +376,12 @@ class _CompactPartition:
                     sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
                 )
                 merged = merged.take(idx)
-                os.makedirs(self.staging_dir, exist_ok=True)
+                self.fs.create_dir(self.staging_dir, recursive=True)
                 tmp = staged + ".tmp"
-                pq.write_table(merged, tmp)
-                os.replace(tmp, staged)
-            rows = pq.read_metadata(staged).num_rows
+                with self.fs.open_output_stream(tmp) as sink:
+                    pq.write_table(merged, sink)
+                self.fs.move(tmp, staged)
+            rows = pq.read_metadata(staged, filesystem=self.fs).num_rows
             out.append(
                 pa.table(
                     {
@@ -372,7 +391,7 @@ class _CompactPartition:
                         "changes_applied": pa.array([0], pa.int64()),
                         "watermark_lsn": pa.array([None], pa.int64()),
                         "file": pa.array([staged], pa.string()),
-                        "sha256": pa.array([_file_digest(staged)], pa.string()),
+                        "sha256": pa.array([_file_digest(staged, self.fs)], pa.string()),
                         "delta": pa.array([False], pa.bool_()),
                     }
                 )
@@ -390,42 +409,61 @@ class CdcTable:
         <dir>/staging/<txn>/p<part>.parquet
     """
 
-    def __init__(self, table_dir: str, num_partitions: int = 64):
-        self.table_dir = table_dir
+    def __init__(self, table_dir: str, num_partitions: int = 64,
+                 filesystem=None, spill_scratch: Optional[str] = None):
+        import pyarrow.fs as pafs
+
+        self.fs, self.table_dir = fsio.resolve_fs(table_dir, filesystem)
         self.num_partitions = num_partitions
-        os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
-        os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
-        os.makedirs(os.path.join(table_dir, "staging"), exist_ok=True)
+        self._local = isinstance(self.fs, pafs.LocalFileSystem)
+        if spill_scratch is None and not self._local:
+            raise ValueError(
+                "CdcTable on a non-local filesystem needs spill_scratch= — "
+                "a cluster-shared POSIX path for the mmap'd spill exchange "
+                "(the durable table state lives on the given filesystem)"
+            )
+        # POSIX scratch for the spill exchange; defaults to the table's own
+        # staging area when the table itself is on local/shared-POSIX storage
+        self.spill_scratch = spill_scratch or posixpath.join(
+            self.table_dir, "staging"
+        )
+        for sub in ("manifests", "data", "staging"):
+            self.fs.create_dir(posixpath.join(self.table_dir, sub), recursive=True)
 
     # -- manifest ----------------------------------------------------------
 
     @property
     def _pointer(self) -> str:
-        return os.path.join(self.table_dir, "manifests", "MANIFEST")
+        return posixpath.join(self.table_dir, "manifests", "MANIFEST")
 
     def latest_manifest(self) -> Optional[dict]:
-        if not os.path.exists(self._pointer):
+        if not fsio.exists(self.fs, self._pointer):
             return None
-        with open(self._pointer) as f:
-            name = f.read().strip()
-        with open(os.path.join(self.table_dir, "manifests", name)) as f:
-            return json.load(f)
+        with self.fs.open_input_stream(self._pointer) as f:
+            name = f.read().decode().strip()
+        return fsio.read_json(
+            self.fs, posixpath.join(self.table_dir, "manifests", name)
+        )
 
     def manifest_at(self, version: int) -> dict:
         """Time travel: load a specific committed manifest version (old data
         files are never rewritten, so any committed version stays readable
         until a retention job removes it)."""
-        path = os.path.join(self.table_dir, "manifests", f"manifest-{version:08d}.json")
-        if not os.path.exists(path):
+        path = posixpath.join(
+            self.table_dir, "manifests", f"manifest-{version:08d}.json"
+        )
+        m = fsio.read_json(self.fs, path)
+        if m is None:
             raise FileNotFoundError(f"no manifest version {version} in {self.table_dir}")
-        with open(path) as f:
-            return json.load(f)
+        return m
 
     def _commit_manifest(self, manifest: dict) -> None:
-        """Atomic: write manifest file, then atomically swap the pointer.
-        Optimistic concurrency (Delta-style): the commit is only valid if the
-        table is still at the parent version — a concurrent committer that
-        got there first raises instead of being silently overwritten."""
+        """Atomic: write manifest file, then atomically swap the pointer
+        (tmp + move — a true rename on local FS, a single-object switch on
+        object stores). Optimistic concurrency (Delta-style): the commit is
+        only valid if the table is still at the parent version — a
+        concurrent committer that got there first raises instead of being
+        silently overwritten."""
         current = self.latest_manifest()
         current_v = current["version"] if current else None
         if current_v != manifest.get("parent"):
@@ -435,19 +473,13 @@ class CdcTable:
                 "from the new watermark"
             )
         name = f"manifest-{manifest['version']:08d}.json"
-        path = os.path.join(self.table_dir, "manifests", name)
-        with tempfile.NamedTemporaryFile(
-            "w", dir=os.path.dirname(path), suffix=".tmp", delete=False
-        ) as f:
-            json.dump(manifest, f, indent=1)
-            tmp = f.name
-        os.replace(tmp, path)
-        with tempfile.NamedTemporaryFile(
-            "w", dir=os.path.dirname(path), suffix=".ptr", delete=False
-        ) as f:
-            f.write(name)
-            tmp = f.name
-        os.replace(tmp, self._pointer)  # THE commit point
+        fsio.write_json_atomic(
+            self.fs, posixpath.join(self.table_dir, "manifests", name), manifest
+        )
+        tmp = self._pointer + ".ptr"
+        with self.fs.open_output_stream(tmp) as f:
+            f.write(name.encode())
+        self.fs.move(tmp, self._pointer)  # THE commit point
 
     @property
     def watermark(self) -> int:
@@ -632,11 +664,13 @@ class CdcTable:
         timing = os.environ.get("WR_CDC_TIMING")
         _t0 = _time.perf_counter()
         self._last_metrics = {}
-        txn_dir = os.path.join(self.table_dir, "staging", txn_id)
-        spill_dir = os.path.join(txn_dir, "spills")
-        marker = os.path.join(txn_dir, "DELTA_DONE")
-        index_path = os.path.join(txn_dir, "spill-index.json")
-        if not os.path.exists(marker):
+        txn_dir = posixpath.join(self.table_dir, "staging", txn_id)
+        # spills live on the POSIX scratch (mmap'd by merge tasks); with a
+        # local table filesystem this is the same staging directory as before
+        spill_dir = os.path.join(self.spill_scratch, txn_id, "spills")
+        marker = posixpath.join(txn_dir, "DELTA_DONE")
+        index_path = posixpath.join(txn_dir, "spill-index.json")
+        if not fsio.exists(self.fs, marker):
             if os.path.exists(spill_dir):  # partial write from a crashed run
                 import shutil
 
@@ -651,15 +685,14 @@ class CdcTable:
                 by_part.setdefault(int(r["part"]), []).append(
                     [r["file"], int(r["batch_index"]), int(r["rows"])]
                 )
-            tmp = index_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(by_part, f)
-            os.replace(tmp, index_path)
-            with open(marker, "w") as f:
-                f.write("done")
+            self.fs.create_dir(txn_dir, recursive=True)
+            fsio.write_json_atomic(self.fs, index_path, by_part)
+            with self.fs.open_output_stream(marker) as f:
+                f.write(b"done")
         else:
-            with open(index_path) as f:
-                by_part = {int(k): v for k, v in json.load(f).items()}
+            by_part = {
+                int(k): v for k, v in fsio.read_json(self.fs, index_path).items()
+            }
         self._last_metrics["exchange_write_s"] = round(_time.perf_counter() - _t0, 3)
         if timing:
             print(f"WRTIME delta_write {_time.perf_counter()-_t0:.2f}", file=sys.stderr)
@@ -677,7 +710,9 @@ class CdcTable:
             if mode == "mor":
                 return True
             base_rows = sum(
-                pq.read_metadata(os.path.join(self.table_dir, f)).num_rows
+                pq.read_metadata(
+                    posixpath.join(self.table_dir, f), filesystem=self.fs
+                ).num_rows
                 for f in bases
             )
             return pending < 0.2 * base_rows
@@ -695,7 +730,10 @@ class CdcTable:
                 )
         if not items:
             return []
-        merge = MergePartition(self.table_dir, txn_id, current_files=current_files)
+        merge = MergePartition(
+            self.table_dir, txn_id, current_files=current_files,
+            fs=self.fs, spill_dir=spill_dir,
+        )
         lineage = (
             # one block per partition → one merge TASK per partition (a single
             # block would serialize all merges into one task)
@@ -728,13 +766,13 @@ class CdcTable:
             part = int(r["part"])
             sub = int(r["sub"])
             is_delta = bool(r.get("delta", False))
-            dst_dir = os.path.join(self.table_dir, "data", f"p{part:05d}")
-            os.makedirs(dst_dir, exist_ok=True)
+            dst_dir = posixpath.join(self.table_dir, "data", f"p{part:05d}")
+            self.fs.create_dir(dst_dir, recursive=True)
             suffix = "-delta" if is_delta else ""
-            dst = os.path.join(dst_dir, f"{txn_id}-s{sub:02d}{suffix}.parquet")
-            rel = os.path.relpath(dst, self.table_dir)
-            if not os.path.exists(dst):
-                os.replace(r["file"], dst)
+            dst = posixpath.join(dst_dir, f"{txn_id}-s{sub:02d}{suffix}.parquet")
+            rel = posixpath.relpath(dst, self.table_dir)
+            if not fsio.exists(self.fs, dst):
+                self.fs.move(r["file"], dst)
             key = str(part)
             if is_delta:
                 deltas.setdefault(key, []).append(rel)
@@ -786,17 +824,21 @@ class CdcTable:
                 lr["rows"] for lr in lineage_rec.values()
             )
             + sum(
-                pq.read_metadata(os.path.join(self.table_dir, f)).num_rows
+                pq.read_metadata(
+                    posixpath.join(self.table_dir, f), filesystem=self.fs
+                ).num_rows
                 for files in list(partitions.values()) + list(deltas.values())
                 for f in files
-                if txn_id not in os.path.basename(f)
+                if txn_id not in posixpath.basename(f)
             ),
         }
         self._commit_manifest(new_manifest)
-        # post-commit: the txn's staging (delta files, markers) is garbage
+        # post-commit: the txn's staging (markers, index) and its POSIX spill
+        # scratch are garbage
         import shutil
 
-        shutil.rmtree(os.path.join(self.table_dir, "staging", txn_id), ignore_errors=True)
+        fsio.delete_dir(self.fs, posixpath.join(self.table_dir, "staging", txn_id))
+        shutil.rmtree(os.path.join(self.spill_scratch, txn_id), ignore_errors=True)
         return new_manifest
 
     # -- tail / compact ----------------------------------------------------
@@ -867,7 +909,7 @@ class CdcTable:
         if not multi:
             return m
         txn_id = f"txn-{m['version'] + 1:08d}-compact"
-        comp = _CompactPartition(self.table_dir, txn_id)
+        comp = _CompactPartition(self.table_dir, txn_id, fs=self.fs)
         items = [
             {"part": int(p), "files": json.dumps(files)}
             for p, files in sorted(multi.items(), key=lambda kv: int(kv[0]))
@@ -899,26 +941,28 @@ class CdcTable:
                 continue
             for val in mv["partitions"].values():
                 for f in (val if isinstance(val, list) else [val]):
-                    referenced.add(os.path.normpath(f))
+                    referenced.add(posixpath.normpath(f))
             for val in mv.get("deltas", {}).values():
                 for f in val:
-                    referenced.add(os.path.normpath(f))
+                    referenced.add(posixpath.normpath(f))
         removed = 0
-        data_dir = os.path.join(self.table_dir, "data")
-        for root, _dirs, files in os.walk(data_dir):
-            for f in files:
-                full = os.path.join(root, f)
-                rel = os.path.normpath(os.path.relpath(full, self.table_dir))
-                if rel not in referenced:
-                    os.unlink(full)
-                    removed += 1
+        data_dir = posixpath.join(self.table_dir, "data")
+        for full in fsio.list_parquet(self.fs, data_dir, recursive=True):
+            rel = posixpath.normpath(posixpath.relpath(full, self.table_dir))
+            if rel not in referenced:
+                self.fs.delete_file(full)
+                removed += 1
         removed_manifests = 0
-        mdir = os.path.join(self.table_dir, "manifests")
-        for f in os.listdir(mdir):
+        mdir = posixpath.join(self.table_dir, "manifests")
+        import pyarrow.fs as pafs
+
+        sel = pafs.FileSelector(mdir, allow_not_found=True)
+        for info in self.fs.get_file_info(sel):
+            f = posixpath.basename(info.path)
             if f.startswith("manifest-") and f.endswith(".json"):
                 v = int(f[len("manifest-"):-len(".json")])
                 if v not in keep:
-                    os.unlink(os.path.join(mdir, f))
+                    self.fs.delete_file(info.path)
                     removed_manifests += 1
         return {"removed_files": removed, "removed_manifests": removed_manifests}
 
@@ -935,10 +979,10 @@ class CdcTable:
         out = []
         for v in m["partitions"].values():
             for f in (v if isinstance(v, list) else [v]):
-                out.append(os.path.join(self.table_dir, f))
+                out.append(posixpath.join(self.table_dir, f))
         for v in m.get("deltas", {}).values():
             for f in v:
-                out.append(os.path.join(self.table_dir, f))
+                out.append(posixpath.join(self.table_dir, f))
         return out
 
     def _has_deltas(self, version: Optional[int] = None) -> bool:
@@ -970,14 +1014,16 @@ class CdcTable:
                 for c in ("conv_id", "turn_idx", LSN_COL, "op"):
                     if c not in read_cols:
                         read_cols.append(c)
-        schema = unified_schema([pq.read_schema(f) for f in files])
+        schema = unified_schema(
+            [pq.read_schema(f, filesystem=self.fs) for f in files]
+        )
         if read_cols is not None:
             # prune by passing a SUBSET schema (not columns=: with mixed
             # base/delta schemas the columns kwarg reads per-fragment column
             # sets that no longer unify)
             avail = [c for c in read_cols if c in schema.names]
             schema = pa.schema([schema.field(c) for c in avail])
-        ds = rd.read_parquet(files, schema=schema)
+        ds = rd.read_parquet(files, schema=schema, filesystem=self.fs)
         if self._has_deltas(version):
             # merge-on-read: suppress base rows shadowed/deleted by delta
             # rows. Partition keys never overlap across files, so one
@@ -1030,9 +1076,9 @@ class CdcTable:
         rels += dv if isinstance(dv, list) else [dv]
         tabs = []
         for rel in rels:
-            f = os.path.join(self.table_dir, rel)
+            f = posixpath.join(self.table_dir, rel)
             # row-group pruning via parquet statistics on the sorted conv_id
-            pf = pq.ParquetFile(f)
+            pf = pq.ParquetFile(self.fs.open_input_file(f))
             groups = []
             for g in range(pf.metadata.num_row_groups):
                 st = pf.metadata.row_group(g).column(
@@ -1056,7 +1102,7 @@ class CdcTable:
     def read_arrow(self, drop_internal: bool = True, version: Optional[int] = None) -> pa.Table:
         """Driver-side read for tests/small tables."""
         files = self.files(version)
-        tabs = [pq.read_table(f) for f in files]
+        tabs = [pq.read_table(f, filesystem=self.fs) for f in files]
         schema = unified_schema([t.schema for t in tabs])
         out = pa.concat_tables([unify_to_schema(t, schema) for t in tabs])
         # LWW + delete suppression is a no-op for pure-base reads (keys are
