@@ -60,6 +60,54 @@ def test_avro_container_roundtrip(records):
                 assert got[k] == v, (k, v, got[k])
 
 
+# -- binary decoders: total over arbitrary bytes -----------------------------
+
+_DECODER_ERRORS = (ValueError, KeyError, IndexError, EOFError, OverflowError,
+                   UnicodeDecodeError, TypeError, MemoryError)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=200))
+def test_avro_reader_total_over_garbage(blob):
+    """Arbitrary bytes (including truncated/corrupted containers) either
+    decode or raise a controlled error — never hang or crash the process."""
+    from wrangler_ray.directives.avro_reader import read_container
+
+    try:
+        read_container(b"Obj\x01" + blob)
+    except _DECODER_ERRORS:
+        pass
+    try:
+        read_container(blob)
+    except _DECODER_ERRORS:
+        pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=200))
+def test_proto_reader_total_over_garbage(blob):
+    from wrangler_ray.directives.proto_reader import parse_descriptor_set
+
+    try:
+        parse_descriptor_set(blob)
+    except _DECODER_ERRORS:
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=300))
+def test_xlsx_reader_total_over_garbage(blob):
+    import zipfile
+    import zlib
+
+    from wrangler_ray.directives.parsers import _xlsx_rows
+
+    try:
+        _xlsx_rows(blob, None)
+    except (*_DECODER_ERRORS, zlib.error, OSError, zipfile.BadZipFile):
+        pass
+
+
 # -- recipe parser totality --------------------------------------------------
 
 @settings(max_examples=150, deadline=None)

@@ -856,10 +856,28 @@ class CdcTable:
         transaction (None = one transaction). Bounded windows are the
         resumable unit at 10^10-event scale: each window commits its own
         manifest, so a crash re-tails from the last watermark. Returns the
-        manifests committed (empty list if nothing new)."""
-        import glob as _glob
+        manifests committed (empty list if nothing new). ``segment_dir``
+        may be a local path or a filesystem URI (``s3://...``) — URI
+        segments are discovered via pyarrow.fs and passed through to the
+        readers, which resolve URIs natively."""
+        if "://" in segment_dir:
+            import fnmatch
 
-        segs = sorted(_glob.glob(os.path.join(segment_dir, pattern)))
+            import pyarrow.fs as pafs
+
+            sfs, sdir = pafs.FileSystem.from_uri(segment_dir)
+            scheme = segment_dir.split("://", 1)[0]
+            sel = pafs.FileSelector(sdir, allow_not_found=True)
+            segs = sorted(
+                f"{scheme}://{i.path}"
+                for i in sfs.get_file_info(sel)
+                if i.type == pafs.FileType.File
+                and fnmatch.fnmatch(posixpath.basename(i.path), pattern)
+            )
+        else:
+            import glob as _glob
+
+            segs = sorted(_glob.glob(os.path.join(segment_dir, pattern)))
         if not segs:
             return []
         if not window_events:
