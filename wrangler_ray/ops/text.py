@@ -398,3 +398,43 @@ def quality_filter(
         batch_format="pandas",
         batch_size=None,
     )
+
+
+# -- PII redaction -----------------------------------------------------------
+
+# conservative RE2-compatible patterns (no lookaround/backrefs) so the SAME
+# regexes run verbatim in SQL oracles (DuckDB regexp_replace) — order matters:
+# emails before phones (a phone pattern could eat digits inside an address)
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\+?\d[\d -]{7,14}\d\b", "<PHONE>"),
+]
+
+
+def _redact_batch(df: pd.DataFrame, text_col: str, patterns) -> pd.DataFrame:
+    s = df[text_col].fillna("")
+    for pat, token in patterns:
+        s = s.str.replace(pat, token, regex=True)
+    out = df.copy()
+    out[text_col] = s.where(df[text_col].notna(), None)
+    return out
+
+
+def redact_pii(ds, text_col: str = "text", patterns=None):
+    """Scrub PII-shaped substrings (emails, IPv4 addresses, phone-like digit
+    runs) from a text column, replacing each with a type token — the
+    standard pre-training hygiene pass. One vectorized ``map_batches`` stage
+    (compiled regexes applied column-wide); nulls stay null. ``patterns``
+    overrides the default ``PII_PATTERNS`` [(regex, token), ...] list —
+    patterns are RE2-safe so oracles can re-run them in SQL verbatim."""
+    import functools
+
+    return ds.map_batches(
+        functools.partial(
+            _redact_batch, text_col=text_col,
+            patterns=patterns or PII_PATTERNS,
+        ),
+        batch_format="pandas",
+        batch_size=None,
+    )
