@@ -204,6 +204,19 @@ def test_read_any_avro_container(ray_session, tmp_path):
     assert list(cols.columns) == ["k"]
 
 
+def test_read_any_tsv_delimiter(ray_session, tmp_path):
+    """.tsv routes through the CSV reader with a TAB ParseOptions — the
+    default comma delimiter read each line as a single cell."""
+    from wrangler_ray.sources import read_any
+
+    p = tmp_path / "rows.tsv"
+    p.write_text("a\tb\n1\tx\n2\ty\n")
+    out = read_any(str(p)).to_pandas()
+    assert list(out.columns) == ["a", "b"]
+    assert out["a"].tolist() == [1, 2]
+    assert out["b"].tolist() == ["x", "y"]
+
+
 def test_connected_components(ray_session):
     import pyarrow as pa
     import ray.data as rd

@@ -63,6 +63,18 @@ def detect_format(path: str) -> str:
     return "text"
 
 
+def _is_tsv(path: str) -> bool:
+    if path.lower().endswith(".tsv"):
+        return True
+    if os.path.isdir(path):
+        return any(
+            n.lower().endswith(".tsv")
+            for n in sorted(os.listdir(path))
+            if not n.startswith((".", "_"))
+        )
+    return False
+
+
 def read_any(path: str, fmt: str | None = None, **kw):
     """Read a path with the right Ray Data reader (sniffed when fmt=None)."""
     import ray.data as rd
@@ -71,6 +83,12 @@ def read_any(path: str, fmt: str | None = None, **kw):
     if fmt == "parquet":
         return rd.read_parquet(path, **kw)
     if fmt == "csv":
+        # .tsv routes through the CSV reader but is tab-delimited — the
+        # default ParseOptions would read each line as one comma-split cell
+        if "parse_options" not in kw and _is_tsv(path):
+            from pyarrow import csv as pacsv
+
+            kw["parse_options"] = pacsv.ParseOptions(delimiter="\t")
         return rd.read_csv(path, **kw)
     if fmt == "json":
         return rd.read_json(path, **kw)
