@@ -217,6 +217,29 @@ def test_read_any_tsv_delimiter(ray_session, tmp_path):
     assert out["b"].tolist() == ["x", "y"]
 
 
+def test_read_any_xlsx_and_compressed_csv(ray_session, tmp_path):
+    """read_any decodes xlsx workbooks via the in-repo OOXML reader and
+    sniffs compressed extensions (x.csv.gz) down to the inner format."""
+    import gzip
+
+    from wrangler_ray.ops.xlsx import xlsx_encode
+    from wrangler_ray.sources import detect_format, read_any
+
+    wb = tmp_path / "book.xlsx"
+    wb.write_bytes(xlsx_encode([["n", "s"], [1, "x"], [2, "y"]]))
+    assert detect_format(str(wb)) == "xlsx"
+    out = read_any(str(wb)).to_pandas()
+    # raw sheet shape: one column per Excel letter
+    assert out["A"].tolist() == ["n", "1", "2"] or out["A"].tolist() == ["n", 1, 2]
+    assert len(out) == 3
+
+    gz = tmp_path / "rows.csv.gz"
+    gz.write_bytes(gzip.compress(b"a,b\n1,x\n2,y\n"))
+    assert detect_format(str(gz)) == "csv"
+    got = read_any(str(gz)).to_pandas()
+    assert got["a"].tolist() == [1, 2] and got["b"].tolist() == ["x", "y"]
+
+
 def test_connected_components(ray_session):
     import pyarrow as pa
     import ray.data as rd

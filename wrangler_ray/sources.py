@@ -24,7 +24,12 @@ _EXT_FORMAT = {
     ".log": "text",
     ".avro": "avro",
     ".xml": "text",
+    ".xlsx": "xlsx",
 }
+
+# transparent-compression suffixes: strip and sniff the inner extension
+# (the Arrow csv/json readers decompress these natively)
+_COMPRESSION_EXTS = {".gz", ".zst", ".bz2"}
 
 _MAGIC = [
     (b"PAR1", "parquet"),
@@ -44,7 +49,11 @@ def detect_format(path: str) -> str:
             if not name.startswith((".", "_")):
                 return detect_format(os.path.join(path, name))
         return "text"
-    ext = os.path.splitext(path)[1].lower()
+    stem, ext = os.path.splitext(path)
+    ext = ext.lower()
+    if ext in _COMPRESSION_EXTS:  # x.csv.gz → sniff x.csv
+        stem, ext = os.path.splitext(stem)
+        ext = ext.lower()
     if ext in _EXT_FORMAT:
         return _EXT_FORMAT[ext]
     try:
@@ -98,7 +107,33 @@ def read_any(path: str, fmt: str | None = None, **kw):
         return rd.read_binary_files(path, **kw)
     if fmt == "avro":
         return _read_avro(path, **kw)
+    if fmt == "xlsx":
+        return _read_xlsx(path, **kw)
     raise ValueError(f"unknown format {fmt!r}")
+
+
+def _read_xlsx(path: str, columns=None, sheet=0, **kw):
+    """xlsx workbooks via the in-repo pure-stdlib OOXML decoder (the same
+    one behind parse-as-excel): whole files distribute to tasks, each task
+    decodes its workbook's first (or named) sheet to an Arrow table."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def decode(batch: pa.Table) -> pa.Table:
+        from wrangler_ray.directives.parsers import _xlsx_rows
+
+        tabs = []
+        for blob in batch.column("bytes").to_pylist():
+            rows = _xlsx_rows(bytes(blob), sheet)
+            t = pa.Table.from_pylist(rows)
+            tabs.append(t.select(list(columns)) if columns else t)
+        if not tabs:
+            return pa.Table.from_pylist([])
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return rd.read_binary_files(path, **kw).map_batches(
+        decode, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def _read_avro(path: str, columns=None, **kw):
