@@ -229,9 +229,10 @@ def test_read_any_xlsx_and_compressed_csv(ray_session, tmp_path):
     wb.write_bytes(xlsx_encode([["n", "s"], [1, "x"], [2, "y"]]))
     assert detect_format(str(wb)) == "xlsx"
     out = read_any(str(wb)).to_pandas()
-    # raw sheet shape: one column per Excel letter
-    assert out["A"].tolist() == ["n", "1", "2"] or out["A"].tolist() == ["n", 1, 2]
-    assert len(out) == 3
+    # raw sheet shape: one STRING column per Excel letter (typed parsing is
+    # the parse-as-excel directive's job)
+    assert out["A"].tolist() == ["n", "1", "2"]
+    assert out["B"].tolist() == ["s", "x", "y"]
 
     gz = tmp_path / "rows.csv.gz"
     gz.write_bytes(gzip.compress(b"a,b\n1,x\n2,y\n"))

@@ -115,7 +115,11 @@ def read_any(path: str, fmt: str | None = None, **kw):
 def _read_xlsx(path: str, columns=None, sheet=0, **kw):
     """xlsx workbooks via the in-repo pure-stdlib OOXML decoder (the same
     one behind parse-as-excel): whole files distribute to tasks, each task
-    decodes its workbook's first (or named) sheet to an Arrow table."""
+    decodes its workbook's first (or named) sheet to an Arrow table. Cells
+    come back as STRINGS keyed by Excel column letter — a raw sheet mixes
+    header and data types in one column, so string is the only stable
+    schema; use the parse-as-excel directive for typed, header-aware
+    parsing."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -124,7 +128,10 @@ def _read_xlsx(path: str, columns=None, sheet=0, **kw):
 
         tabs = []
         for blob in batch.column("bytes").to_pylist():
-            rows = _xlsx_rows(bytes(blob), sheet)
+            rows = [
+                {k: (None if v is None else str(v)) for k, v in r.items()}
+                for r in _xlsx_rows(bytes(blob), sheet)
+            ]
             t = pa.Table.from_pylist(rows)
             tabs.append(t.select(list(columns)) if columns else t)
         if not tabs:
