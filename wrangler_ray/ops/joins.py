@@ -153,11 +153,30 @@ def asof_join(
     def merge_bucket(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
         # restrict each side to ITS columns (the union null-backfills the
-        # other side's fields; leaving them would shadow the join output)
-        l = df[df["_side"] == "l"][l_cols].sort_values(ts_col)
-        r = df[df["_side"] == "r"][r_cols]
-        if len(l) == 0:
+        # other side's fields; leaving them would shadow the join output).
+        # reindex, not column selection: a bucket whose rows all came from
+        # ONE side arrives without the other side's columns at all (small
+        # corpora make single-side buckets common), and selecting missing
+        # columns raises
+        ldf = df[df["_side"] == "l"]
+        if len(ldf) == 0:
             return pa.table({})
+        l = ldf.reindex(columns=l_cols).sort_values(ts_col)
+        rdf = df[df["_side"] == "r"]
+        if len(rdf) == 0:
+            # no right rows in this bucket: every left row misses — emit the
+            # left side with null right-only columns (same shape merge_asof
+            # would produce against an empty right frame)
+            out = l.copy()
+            for c in r_cols:
+                if c in (key, ts_col):
+                    continue
+                name = c if c not in out.columns else c + "_r"
+                out[name] = None
+            return pa.Table.from_pandas(
+                out, preserve_index=False
+            ).replace_schema_metadata(None)
+        r = rdf.reindex(columns=r_cols)
         # deterministic tie-break: when the right side has several rows at the
         # SAME (key, ts), keep the lexicographically-greatest row (block order
         # must never decide the match)
