@@ -291,3 +291,38 @@ def test_redact_pii(ray_session):
     assert out["text"].iloc[1] is None  # nulls stay null
     assert "<PHONE>" in out["text"].iloc[2]
     assert "20-1999" not in out["text"].iloc[2] or True  # pattern-dependent
+
+
+def test_ops_total_on_empty_input(ray_session):
+    """Empty datasets flow through every hot operator as empty output — no
+    operator may crash on a zero-row corpus (the small-scale sibling of the
+    single-side-bucket asof fix)."""
+    import ray.data as rd
+
+    from wrangler_ray.ops.dedup import (
+        embedding_dedup,
+        exact_dedup,
+        minhash_lsh_dedup,
+        simhash_dedup,
+    )
+    from wrangler_ray.ops.similarity import brute_force_topk
+    from wrangler_ray.ops.text import analyze, quality_filter, redact_pii
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    vecs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    assert exact_dedup(docs).count() == 0
+    assert exact_dedup(docs, method="hash_ids").count() == 0
+    assert minhash_lsh_dedup(docs).count() == 0
+    assert simhash_dedup(docs).count() == 0
+    assert embedding_dedup(vecs).count() == 0
+    assert analyze(docs).count() == 0
+    assert quality_filter(docs).count() == 0
+    assert redact_pii(docs).count() == 0
+    q = np.ones((1, 4), np.float32)
+    assert brute_force_topk(vecs, q, k=3).num_rows == 0

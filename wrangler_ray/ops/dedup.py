@@ -1229,8 +1229,10 @@ def embedding_dedup(
         ).materialize()  # consumed by dim probe + signing + survivor filter
 
     if dim is None:
-        first = ds.take(1)[0]
-        dim = len(first[vec_col])
+        first = ds.take(1)
+        if not first:  # empty corpus — nothing to dedup
+            return ds
+        dim = len(first[0][vec_col])
     rng = np.random.RandomState(seed)
     planes = rng.randn(dim, num_planes).astype(np.float32)
     planes_ref = ray.put(planes)
