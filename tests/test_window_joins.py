@@ -338,3 +338,26 @@ def test_hopping_window(ray_session):
     with _pytest.raises(ValueError):
         hopping_window(rd.from_arrow(t), ts_col="ts", aggs=[Count()],
                        every="25 minute", period="1 hour")
+
+
+def test_broadcast_join_dataset_and_empty_small_side(ray_session):
+    """broadcast_join accepts a Ray Dataset small side (collected once) and
+    an EMPTY small side yields left rows with null right columns — the
+    degenerate shapes that crash Ray's native hash join."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wrangler_ray.ops.joins import broadcast_join
+
+    l = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                                "a": pa.array(["x", "y", "z"])}))
+    r = rd.from_arrow(pa.table({"k": pa.array([2, 3, 4], pa.int64()),
+                                "b": pa.array([20, 30, 40], pa.int64())}))
+    out = broadcast_join(l, r, on="k").to_pandas().sort_values("k")
+    assert out["b"].tolist()[1:] == [20, 30] and pd.isna(out["b"].iloc[0])
+
+    er = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64())}))
+    out2 = broadcast_join(l, er, on="k").to_pandas()
+    assert len(out2) == 3 and out2["b"].isna().all()

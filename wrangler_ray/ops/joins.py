@@ -66,10 +66,19 @@ def broadcast_join(
     """Broadcast-hash join: ``small`` is put in the object store once;
     every worker process fetches it once (per-process ref-keyed cache) and
     probes per batch with a pyarrow join. Task-based — scales to the full
-    cluster width instead of a fixed actor pool."""
+    cluster width instead of a fixed actor pool. ``small`` may be a
+    pyarrow Table or a (small!) Ray Dataset — a Dataset is collected to
+    one Arrow table first, which is the whole premise of a broadcast
+    join."""
     import ray
 
     right_on = right_on or on
+    if not isinstance(small, pa.Table):
+        tabs = list(small.iter_batches(batch_size=None, batch_format="pyarrow"))
+        small = (
+            pa.concat_tables(tabs) if tabs
+            else pa.Table.from_pylist([], schema=small.schema().base_schema)
+        )
     small_ref = ray.put(small)
     join_type = how + " outer" if how in ("left", "right", "full") else how
 
@@ -96,7 +105,14 @@ def hash_join(
     num_partitions: int | None = None,
 ):
     """Large-large join → Ray Data's hash-partitioned join operator
-    (explicit shuffle; both sides exchanged once)."""
+    (explicit shuffle; both sides exchanged once).
+
+    Known Ray 2.49 limitation: a fully EMPTY input side crashes the native
+    hash-join aggregator (ArrowInvalid in finalize — the same empty-partition
+    rejection the dedup distributed tail works around by avoiding
+    Dataset.join). When a side may legitimately be empty, use
+    broadcast_join (handles it) or guard with a cheap count on a
+    materialized input."""
     num_partitions = join_partitions(num_partitions)
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = (right_on,) if isinstance(right_on, str) else (
