@@ -121,10 +121,11 @@ def run_benchmarks() -> dict:
     extras: dict = {}
     workdir = tempfile.mkdtemp(prefix="wr_bench_")
 
-    # this host's wall-clock varies ±2.5× with ambient load (BASELINE.md);
-    # min-of-N per pipeline, applied uniformly to EVERY pipeline, is the
-    # standard estimator of the true cost on a noisy shared machine
-    bench_runs = max(1, int(os.environ.get("WR_BENCH_RUNS", "2")))
+    # min-of-N per pipeline, applied uniformly to EVERY pipeline — the
+    # standard estimator on a noisy shared machine (this VM swings up to 10×
+    # on ambient host contention, BASELINE.md). Three samples reject a noisy
+    # window far more often than two, at ~10 s extra total.
+    bench_runs = max(1, int(os.environ.get("WR_BENCH_RUNS", "3")))
 
     def _best_of(fn):
         best, out = None, None
