@@ -47,12 +47,16 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
       exchange moves the whole corpus once.
     - ``"hash_ids"``: only ``(hash128, id)`` rows shuffle (~24 B/doc —
       ~100× less exchange volume for long documents); the duplicate ids
-      come back to the driver and survivors are kept by a broadcast
-      map-side filter over the UNSHUFFLED input. Texts are equated by a
-      128-bit content hash (two independent 64-bit siphashes), colliding
-      with probability ~2⁻¹²⁸ — vanishing, but not value-compared, and the
-      dropped-id array costs 8 B/duplicate in the object store. Pick this
-      for long-document corpora where full-row exchange dominates."""
+      stay DISTRIBUTED as id-sorted object-store blocks (never concatenated
+      on the driver — the driver holds only per-block [min,max] bounds),
+      and survivors are kept by a map-side range-pruned sorted-run filter
+      over the UNSHUFFLED input: each filter task fetches only the dropped-id
+      blocks whose id range overlaps its batch. Texts are equated by a
+      128-bit content hash (two independent 64-bit siphashes; null texts
+      carry a sentinel fold so they can never collide with a real string),
+      colliding with probability ~2⁻¹²⁸ — vanishing, but not value-compared.
+      Pick this for long-document corpora where full-row exchange
+      dominates."""
     if method == "hash_ids":
         return _exact_dedup_hash_ids(ds, text_col, id_col, num_buckets)
     if method != "full":
@@ -90,20 +94,43 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+# sentinel folded into h2 for NULL texts: pd.util.hash_array stringifies
+# None, so without it a null-text row collides with a row whose text is the
+# literal string "None" and one of the two is wrongly dropped (ADVICE r4).
+# All nulls share the sentinel → they group together (one representative),
+# matching method="full"'s dropna=False semantics.
+_NULL_H2_SENTINEL = np.uint64(0xA5A5_5A5A_DEAD_BEEF)
+
+# per-process cache of fetched dropped-id blocks (ref hex → sorted ndarray),
+# bounded by total cached elements so a long-lived filter actor can't hoard
+# every dropped-id block of a 10^10-row corpus
+_DROP_BLOCK_CACHE: dict = {}
+_DROP_CACHE_MAX_ELEMS = 50_000_000
+
+
 def _exact_dedup_hash_ids(ds, text_col: str, id_col: str, num_buckets: int):
     """Exchange-light exact dedup (see exact_dedup method="hash_ids"):
     shuffle (h1, h2, id) only, reduce each bucket to its DROPPED ids (all but
-    the min id per distinct 128-bit hash), broadcast the dropped-id array,
-    filter the original dataset map-side — the text bytes never enter an
-    exchange."""
+    the min id per distinct 128-bit hash), then filter the original dataset
+    map-side through a DISTRIBUTED sorted-run filter: the dropped ids are
+    sorted into range-partitioned object-store blocks, the driver keeps only
+    per-block [min,max] bounds (16 B/block), and each filter task fetches
+    just the blocks overlapping its batch's id range (per-process LRU-ish
+    cache). The text bytes never enter an exchange and the dropped-id set is
+    never concatenated on the driver."""
     import ray
 
     def hash_rows(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_numpy(zero_copy_only=False).astype(object)
+        col = t.column(text_col)
+        texts = col.to_numpy(zero_copy_only=False).astype(object)
         h1 = pd.util.hash_array(texts, categorize=False).astype(np.uint64)
         h2 = pd.util.hash_array(
             texts, categorize=False, hash_key="wrangler_ray_2nd"
         ).astype(np.uint64)
+        nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+        if nulls.any():
+            h2 = h2.copy()
+            h2[nulls] ^= _NULL_H2_SENTINEL
         return pa.table(
             {
                 "_b": pa.array((h1 % np.uint64(num_buckets)).astype(np.int32)),
@@ -120,22 +147,58 @@ def _exact_dedup_hash_ids(ds, text_col: str, id_col: str, num_buckets: int):
             {id_col: pa.array(df[id_col].drop(index=keep).to_numpy())}
         )
 
+    # dropped ids, id-sorted → range-partitioned blocks in the OBJECT STORE;
+    # materialize() pins them (the dataset handle is captured in the filter
+    # closure below, keeping the block refs alive for the pipeline's life)
     dropped = (
         ds.select_columns([id_col, text_col])
         .map_batches(hash_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_b")
         .map_groups(dropped_ids, batch_format="pyarrow")
+        .sort(id_col)
+        .materialize()
     )
-    drop_arr = np.sort(np.concatenate(
-        [t.column(id_col).to_numpy(zero_copy_only=False)
-         for t in dropped.iter_batches(batch_size=None, batch_format="pyarrow")]
-        or [np.empty(0, np.int64)]
-    ))
-    drop_ref = ray.put(drop_arr)
+    block_refs = list(dropped.to_arrow_refs())
 
-    def remove(t: pa.Table) -> pa.Table:
+    @ray.remote(num_cpus=0.25)
+    def _bounds(t: pa.Table):
+        # an all-empty sort can emit a block with a degenerate schema
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return None
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(~np.isin(ids, ray.get(drop_ref))))
+        return (ids[0], ids[-1])  # sorted blocks → first/last are min/max
+
+    bounds = ray.get([_bounds.remote(r) for r in block_refs])
+    live = [(b[0], b[1], r) for b, r in zip(bounds, block_refs) if b is not None]
+    if not live:
+        return ds  # nothing dropped — corpus already exact-unique
+
+    def _fetch_block(ref) -> np.ndarray:
+        key = ref.hex()
+        arr = _DROP_BLOCK_CACHE.get(key)
+        if arr is None:
+            arr = (
+                ray.get(ref).column(id_col).to_numpy(zero_copy_only=False)
+            )
+            if (
+                sum(len(v) for v in _DROP_BLOCK_CACHE.values()) + len(arr)
+                > _DROP_CACHE_MAX_ELEMS
+            ):
+                _DROP_BLOCK_CACHE.clear()
+            _DROP_BLOCK_CACHE[key] = arr
+        return arr
+
+    def remove(t: pa.Table, _pin=dropped) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return t
+        lo, hi = ids.min(), ids.max()
+        mask = np.zeros(len(ids), bool)
+        for blo, bhi, ref in live:
+            if bhi < lo or blo > hi:  # range-pruned: block can't match
+                continue
+            mask |= np.isin(ids, _fetch_block(ref))
+        return t.filter(pa.array(~mask))
 
     return ds.map_batches(remove, batch_format="pyarrow", zero_copy_batch=True)
 
