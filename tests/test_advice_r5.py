@@ -49,3 +49,161 @@ def test_hash_ids_no_duplicates_is_identity(ray_session):
     df = pd.DataFrame({"doc_id": [3, 1, 2], "text": ["x", "y", "z"]})
     out = exact_dedup(rd.from_pandas(df), method="hash_ids").to_pandas()
     assert sorted(out["doc_id"]) == [1, 2, 3]
+
+
+def _ivf_fixture(tmp_path):
+    import ray.data as rd
+
+    from wrangler_ray.ops.ann_index import IvfIndex
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 8).astype(np.float32)
+
+    def mk(lo, hi):
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(lo, hi), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs[lo:hi]],
+                pa.list_(pa.float32())),
+        }))
+
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    idx.build(mk(0, 30), num_clusters=4, seed=3)
+    idx.append(mk(30, 60))
+    return idx, vecs
+
+
+def test_ivf_compact_sweeps_orphan_dirs(ray_session, tmp_path):
+    """ADVICE r5: a crash between compact's meta commit and old-dir deletion
+    leaves dead incr dirs that _committed_incr_dirs never returns — the next
+    compact used to early-return without sweeping them, leaking forever.
+    _vacuum_orphans must remove them even on the <=1-live-dir path."""
+    import os
+
+    idx, vecs = _ivf_fixture(tmp_path)
+    assert idx.compact() == 60
+    # simulate the crash: a dead pre-compact dir reappears (number < incr,
+    # not in live_incrs)
+    orphan = tmp_path / "ivf" / "cells" / "incr-000000"
+    os.makedirs(orphan / "c=0", exist_ok=True)
+    (orphan / "c=0" / "junk.parquet").write_bytes(b"not parquet")
+    assert idx.compact() == 0  # <=1 live dir — but the sweep still runs
+    assert not orphan.exists()
+    res = idx.query(vecs[5], k=3, nprobe=4).to_pandas()
+    assert res["vec_id"].iloc[0] == 5
+
+
+def test_minhash_index_compact_sweeps_orphan_dirs(ray_session, tmp_path):
+    import os
+
+    from wrangler_ray.ops.dedup_index import MinHashDedupIndex
+
+    # genuinely distinct docs (no shared shingles) so both increments keep
+    # survivors and compact has >1 dir to fold
+    texts = [" ".join(f"w{i}x{j}" for j in range(12)) for i in range(20)]
+    import ray.data as rd
+
+    def mk(lo, hi):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(lo, hi), pa.int64()),
+            "text": pa.array(texts[lo:hi], pa.string()),
+        }))
+
+    work = str(tmp_path / "idx")
+    idx = MinHashDedupIndex(work, jaccard_threshold=0.7, sig_parts=4)
+    idx.dedup_increment(mk(0, 10))
+    idx.dedup_increment(mk(10, 20))
+    assert idx.compact() > 0
+    orphans = []
+    for kind in ("texts", "signatures", "bands"):
+        o = tmp_path / "idx" / kind / "incr-000000"
+        os.makedirs(o, exist_ok=True)
+        (o / "junk.parquet").write_bytes(b"x")
+        orphans.append(o)
+    assert idx.compact() == 0
+    for o in orphans:
+        assert not o.exists(), o
+    # index still functional after the sweep: new ids (watermark is
+    # monotone) carrying historical texts are all dropped as dups
+    dup = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(20, 25), pa.int64()),
+        "text": pa.array(texts[0:5], pa.string()),
+    }))
+    assert idx.dedup_increment(dup).count() == 0
+
+
+def test_cdc_resume_survives_lost_spill_scratch(ray_session, tmp_path, monkeypatch):
+    """ADVICE r5: with a remote table fs the DELTA_DONE marker lives on the
+    durable fs while spills live on POSIX scratch. If the scratch is lost
+    after the marker was written (crash + node replacement), resume used to
+    trust the marker and every merge retry failed on missing spill files.
+    The engine must now detect the missing spills, clear the marker, and
+    rewrite them."""
+    import pyarrow.fs as pafs
+    import ray.data as rd
+
+    from wrangler_ray.cdc import engine as eng
+    from wrangler_ray.cdc.generate import generate_change_stream
+    from wrangler_ray.cdc.oracle import assert_tables_equal, replay_oracle
+
+    d = tmp_path / "stream"
+    info = generate_change_stream(str(d), n_convs=20, n_events=400,
+                                  n_segments=2, seed=11)
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    scratch = tmp_path / "scratch"
+    table = eng.CdcTable("lake", num_partitions=4, filesystem=fs,
+                         spill_scratch=str(scratch))
+    table.init_from_snapshot(rd.read_parquet(info["base"]))
+
+    # crash AFTER the spill write + marker commit, BEFORE the merge —
+    # MergePartition is constructed driver-side right after the marker write
+    orig_init = eng.MergePartition.__init__
+
+    def boom(self, *a, **k):
+        raise RuntimeError("simulated crash before merge")
+
+    monkeypatch.setattr(eng.MergePartition, "__init__", boom)
+    with pytest.raises(Exception, match="simulated crash"):
+        table.apply_changes(info["segments"])
+    monkeypatch.setattr(eng.MergePartition, "__init__", orig_init)
+
+    # the marker was committed to the durable fs... and then the scratch dies
+    import shutil
+
+    assert any(tmp_path.glob("lake/staging/*/DELTA_DONE"))
+    shutil.rmtree(scratch)
+
+    # retry must rewrite the spills and reach full parity
+    table2 = eng.CdcTable("lake", num_partitions=4, filesystem=fs,
+                          spill_scratch=str(scratch))
+    table2.apply_changes(info["segments"])
+    oracle = replay_oracle(info["base"], info["segments"])
+    assert_tables_equal(table2.read_arrow(), oracle)
+
+
+def test_avro_union_bool_promotes_when_no_boolean_branch():
+    """ADVICE r5: True under ["null","long"] must encode (bool is an int in
+    Python and pre-typed-matching writers accepted it) — via int promotion,
+    while a union WITH a boolean branch still picks boolean."""
+    from wrangler_ray.directives.avro_reader import read_container
+    from wrangler_ray.ops.avro_writer import write_container
+
+    schema = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "flag_long", "type": ["null", "long"]},
+            {"name": "flag_bool", "type": ["null", "boolean", "long"]},
+        ],
+    }
+    payload = write_container(
+        schema,
+        [
+            {"flag_long": True, "flag_bool": True},
+            {"flag_long": False, "flag_bool": 7},
+            {"flag_long": None, "flag_bool": None},
+        ],
+    )
+    _schema, got = read_container(payload)
+    assert got[0]["flag_long"] == 1 and got[0]["flag_bool"] is True
+    assert got[1]["flag_long"] == 0 and got[1]["flag_bool"] == 7
+    assert got[2]["flag_long"] is None and got[2]["flag_bool"] is None

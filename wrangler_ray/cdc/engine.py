@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
 import posixpath
 from typing import Optional, Union
@@ -70,6 +71,8 @@ import pyarrow.parquet as pq
 
 from wrangler_ray.core.schema import concat_reconciled, unified_schema, unify_to_schema
 from wrangler_ray.ops import fsio
+
+logger = logging.getLogger(__name__)
 
 class ConcurrentCommitError(RuntimeError):
     """Another transaction committed first (optimistic concurrency check)."""
@@ -463,7 +466,13 @@ class CdcTable:
         object stores). Optimistic concurrency (Delta-style): the commit is
         only valid if the table is still at the parent version — a
         concurrent committer that got there first raises instead of being
-        silently overwritten."""
+        silently overwritten. That conflict check is reliable on
+        LocalFileSystem only: on object stores `move` is copy+delete (not a
+        compare-and-swap), so two concurrent committers can BOTH pass the
+        parent check and one transaction is silently lost — multi-writer
+        commits there need an external lock or conditional-put support (see
+        ops/fsio.py module docstring). Intended deployment is one
+        tail/apply driver per table."""
         current = self.latest_manifest()
         current_v = current["version"] if current else None
         if current_v != manifest.get("parent"):
@@ -670,7 +679,33 @@ class CdcTable:
         spill_dir = os.path.join(self.spill_scratch, txn_id, "spills")
         marker = posixpath.join(txn_dir, "DELTA_DONE")
         index_path = posixpath.join(txn_dir, "spill-index.json")
-        if not fsio.exists(self.fs, marker):
+        resume = fsio.exists(self.fs, marker)
+        if resume:
+            # the marker/index live on the DURABLE table fs while spills live
+            # on the (possibly node-local) POSIX scratch — if the scratch was
+            # lost after the marker was written, blindly trusting the marker
+            # would make every merge retry fail on missing spill files with
+            # no recovery path. Verify the referenced files still exist; if
+            # any is gone, clear the marker and rewrite the spills.
+            by_part = {
+                int(k): v for k, v in fsio.read_json(self.fs, index_path).items()
+            }
+            missing = [
+                f
+                for spills in by_part.values()
+                for f, _bi, _n in spills
+                if not os.path.exists(os.path.join(spill_dir, f))
+            ]
+            if missing:
+                logger.warning(
+                    "txn %s: DELTA_DONE marker present but %d spill file(s) "
+                    "missing from scratch %s — clearing the marker and "
+                    "rewriting the spills",
+                    txn_id, len(missing), spill_dir,
+                )
+                self.fs.delete_file(marker)
+                resume = False
+        if not resume:
             if os.path.exists(spill_dir):  # partial write from a crashed run
                 import shutil
 

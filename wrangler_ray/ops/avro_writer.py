@@ -83,6 +83,16 @@ def _encode(value, schema, out: bytearray) -> None:
                 if not (isinstance(branch, str) and branch == "null"):
                     _encode(value, branch, out)
                 return
+        # promotion pass: a bool with no boolean branch promotes to a
+        # numeric branch (bool IS an int in Python, and pre-r4 writers
+        # accepted True under ["null","long"] — keep that accepted)
+        if isinstance(value, bool):
+            for i, branch in enumerate(schema):
+                bt = branch if isinstance(branch, str) else branch.get("type")
+                if bt in ("int", "long", "float", "double"):
+                    out += _zigzag_long(i)
+                    _encode(int(value), branch, out)
+                    return
         raise ValueError(
             f"no union branch in {schema!r} matches value of type "
             f"{type(value).__name__}"
