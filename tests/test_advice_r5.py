@@ -207,3 +207,38 @@ def test_avro_union_bool_promotes_when_no_boolean_branch():
     assert got[0]["flag_long"] == 1 and got[0]["flag_bool"] is True
     assert got[1]["flag_long"] == 0 and got[1]["flag_bool"] == 7
     assert got[2]["flag_long"] is None and got[2]["flag_bool"] is None
+
+
+def test_sign_texts_byte_identical_to_per_doc_path():
+    """VERDICT r4 #3: the batched signer must be byte-identical to the
+    per-doc signature()/digest path for every edge case — unicode
+    whitespace runs, short strings (char-pad vs byte-pad), multi-byte
+    UTF-8, repeated shingles, None texts, empty strings."""
+    from wrangler_ray.ops.dedup import MinHasher, _mix64, _shingle_hashes, _sign_texts
+
+    h = MinHasher(num_perm=64, shingle_k=5)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        None,
+        "",
+        "ab",
+        "a  b\t\tc\n d",           # whitespace runs
+        "ÜBER façade ünïcode ß",   # multi-byte utf-8 (len(chars) != len(bytes))
+        "aaaaaaaaaaaaaaaa",        # heavy repeated shingles
+        " nbsp spaced",  # unicode whitespace (str.split semantics)
+        "x" * 4,                   # exactly k-1 chars -> ljust pad
+        "the quick brown fox jumps over the lazy dog",  # exact dup
+    ]
+    sigs, digs = _sign_texts(texts, h.a, h.b, h.shingle_k, h.num_perm)
+    for i, x in enumerate(texts):
+        ref_sig = h.signature(x)
+        assert np.array_equal(sigs[i], ref_sig), f"sig mismatch doc {i}: {x!r}"
+        sh = _shingle_hashes(x, h.shingle_k)
+        ref_dig = (
+            np.uint64(0)
+            if len(sh) == 0
+            else _mix64(np.bitwise_xor.reduce(np.unique(sh))[None])[0]
+        )
+        assert digs[i] == ref_dig, f"dig mismatch doc {i}: {x!r}"
+    # exact dups produce identical signatures AND digests
+    assert np.array_equal(sigs[0], sigs[9]) and digs[0] == digs[9]

