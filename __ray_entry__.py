@@ -363,11 +363,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def token_counts_docs(sf_dir):
         # task-based fused stage (not an actor pool): regex-only state is
         # microseconds to build, so tasks scale with the cluster instead of
-        # capping the stage at a fixed pool size
+        # capping the stage at a fixed pool size. n_bpe_tokens is oracled
+        # too since r5: the canonical piece pattern is RE2-safe, so DuckDB
+        # runs it verbatim (engine parity pinned in tests/test_advice_r5.py)
         from wrangler_ray.ops.text import token_counts
 
         ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-        return token_counts(ds).drop_columns(["n_bpe_tokens", "text"])
+        return token_counts(ds).drop_columns(["text"])
 
     def dedup_exact_docs(sf_dir):
         from wrangler_ray.ops.dedup import exact_dedup
@@ -1731,9 +1733,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(string_split(text, ' ')) AS text
             FROM documents
         """,
-        "token_counts_docs": """
+        "token_counts_docs": r"""
             SELECT doc_id,
-                   len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens
+                   len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+'
+                   )) AS n_bpe_tokens
             FROM documents
         """,
         "dedup_exact_docs": """

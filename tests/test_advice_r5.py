@@ -242,3 +242,41 @@ def test_sign_texts_byte_identical_to_per_doc_path():
         assert digs[i] == ref_dig, f"dig mismatch doc {i}: {x!r}"
     # exact dups produce identical signatures AND digests
     assert np.array_equal(sigs[0], sigs[9]) and digs[0] == digs[9]
+
+
+def test_bpe_pattern_engine_parity():
+    """The canonical BPE-piece pattern is RE2-safe so the SAME pattern runs
+    in pyarrow's RE2 kernel, Python re, and DuckDB oracles — all three
+    engines must count identically on adversarial whitespace / contraction
+    / punctuation / unicode shapes (guards pattern drift between the batch
+    kernel, per-row fallbacks, and the SQL oracle)."""
+    import random
+
+    import duckdb
+
+    from wrangler_ray.ops.text import _BPE_PAT_RE2, _BPE_RE
+
+    cases = [
+        "", " ", "  ", "a", " a", "a ", "a  ", "  a", "a b", "a  b",
+        "a   b", "it's", "don't they'll we're I've I'm he'd", "a\t\tb",
+        "x \t y", "1 22  333", "!!", "a!!b", "a !! b", "a'sx", "a''s",
+        "tab\tnewline\nmix \n\t end  ", "...a...", "+-*/", "é ü ß",
+        "word's  end'll", "'s", "''", "' '", "1'2", "a'b'c",
+    ]
+    rng = random.Random(42)
+    alphabet = list("ab c'!.\t\n1é ")
+    for _ in range(300):
+        cases.append("".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))))
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    arr = _pa.array(cases, _pa.string())
+    re2_counts = _pc.count_substring_regex(arr, _BPE_PAT_RE2).to_pylist()
+    con = duckdb.connect()
+    for s, got in zip(cases, re2_counts):
+        want = len(_BPE_RE.findall(s))
+        assert got == want, f"{s!r}: arrow={got} python={want}"
+        duck = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [s, _BPE_PAT_RE2]
+        ).fetchone()[0]
+        assert duck == want, f"{s!r}: duckdb={duck} python={want}"

@@ -1,7 +1,12 @@
 """Text analysis stages for training-data pipelines: language-ID, quality
 scoring, token counting, document fingerprinting. All stateful setup (regex
-compile, profile tables) happens once per actor (``__init__``), work per
-batch is vectorized pandas/numpy."""
+compile, profile tables) happens once per actor (``__init__``); work per
+batch is Arrow-native — ``pyarrow.compute`` RE2/string kernels over
+zero-copy ``pa.Table`` batches (the previous pandas ``.str`` path looped
+Python ``re`` per row inside pandas AND paid an Arrow→pandas copy per
+batch). RE2 note: ``\\w``/``\\s`` are ASCII in RE2 (vs unicode in Python
+``re``) — identical on ASCII corpora and it matches the DuckDB (RE2)
+oracles exactly."""
 
 from __future__ import annotations
 
@@ -10,6 +15,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 # tiny trigram/stopword profiles per language (heuristic n-gram language-ID)
@@ -53,28 +59,36 @@ class LanguageId:
         return (best if score > 0.15 else "und"), score
 
     def predict_series(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        """pandas-Series entry (kept for callers holding frames); the work
+        runs through the Arrow kernels."""
+        return self.predict_arrow(pa.array(texts.fillna(""), pa.string()))
+
+    def predict_arrow(self, col) -> tuple[np.ndarray, np.ndarray]:
         # prefix of 4002 chars ⇔ trigram windows starting at < 4000, the same
-        # window the per-row classify scans
-        prefix = texts.fillna("").str.slice(0, 4002).str.lower()
-        scores = np.zeros((len(texts), len(self.langs)), np.float32)
+        # window the per-row classify scans; one C++ substring scan per
+        # profile gram (50 passes) — no per-row Python
+        prefix = pc.utf8_lower(
+            pc.utf8_slice_codeunits(pc.fill_null(col, ""), 0, 4002)
+        )
+        n = len(prefix)
+        scores = np.zeros((n, len(self.langs)), np.float32)
         for li, lang in enumerate(self.langs):
             prof = self.profiles[lang]
-            hits = np.zeros(len(texts), np.int32)
+            hits = np.zeros(n, np.int32)
             for g in prof:
-                hits += prefix.str.contains(g, regex=False).to_numpy()
+                hits += pc.match_substring(prefix, g).to_numpy(
+                    zero_copy_only=False
+                )
             scores[:, li] = hits / np.float32(len(prof))
         best = scores.argmax(axis=1)  # ties → earlier profile, like classify
-        best_score = scores[np.arange(len(texts)), best]
+        best_score = scores[np.arange(n), best]
         preds = np.where(
             best_score > 0.15, np.asarray(self.langs, object)[best], "und"
         )
         return preds, best_score
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # Arrow-native string conversion — to_pylist() boxed every value
-        # through Python objects before the vectorized profile pass
-        texts = batch.column(self.text_col).to_pandas()
-        preds, scores = self.predict_series(texts)
+        preds, scores = self.predict_arrow(batch.column(self.text_col))
         batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
         return batch.append_column(
             "lang_score", pa.array(scores, pa.float32())
@@ -83,68 +97,109 @@ class LanguageId:
 
 class QualityScore:
     """Document quality heuristics (length / punctuation / stopword-ratio /
-    mean word length), one pandas-vectorized pass per batch. Adds
+    mean word length), one Arrow-kernel pass per batch. Adds
     ``q_len, q_punct_ratio, q_stop_ratio, q_mean_wordlen, quality``."""
+
+    # RE2-safe patterns (no lookarounds) shared with the SQL oracles
+    WORD_PAT = r"[A-Za-z']+"
+    PUNCT_PAT = r"[^\w\s]"
+    WORDCHAR_PAT = r"[A-Za-z']"
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = re.compile(r"[A-Za-z']+")
-        self.punct_re = re.compile(r"[^\w\s]")
-        # matches exactly the word tokens (maximal [A-Za-z']+ runs) that equal
-        # a stopword — lookarounds forbid extending the run on either side, so
-        # this is the vectorized equivalent of `tok.lower() in _STOPWORDS`
-        self.stop_re = re.compile(
-            r"(?<![A-Za-z'])(?:" + "|".join(sorted(_STOPWORDS)) + r")(?![A-Za-z'])",
-            re.IGNORECASE,
-        )
-        self.wordchar_re = re.compile(r"[A-Za-z']")
+        self.stop_words = sorted(_STOPWORDS)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[self.text_col].fillna("")
-        length = s.str.len()
-        punct = s.str.count(self.punct_re) / length.clip(lower=1)
-        # all three word metrics via vectorized str.count — no per-row lambdas:
-        # word count, stopword-token count, and total word characters (mean
-        # word length = word chars / words, since tokens are [A-Za-z']+ runs)
-        n_words_raw = s.str.count(self.word_re)
-        n_words = n_words_raw.clip(lower=1)
-        stop = s.str.count(self.stop_re)
+    def _stop_count(self, s) -> np.ndarray:
+        """Count word tokens (maximal [A-Za-z']+ runs) equal to a stopword,
+        case-insensitively, WITHOUT lookarounds (RE2 has none): lowercase,
+        squash every non-token run to TWO spaces (so adjacent ' w ' literals
+        can never overlap), pad, then one literal C++ substring count per
+        stopword. Equivalent to the lookaround regex
+        (?<![A-Za-z'])(?:w1|w2|…)(?![A-Za-z'])."""
+        squashed = pc.replace_substring_regex(
+            pc.utf8_lower(s), "[^a-z']+", "  "
+        )
+        padded = pc.binary_join_element_wise(" ", squashed, " ", "")
+        total = np.zeros(len(s), np.int64)
+        for w in self.stop_words:
+            total += pc.count_substring(padded, f" {w} ").to_numpy(
+                zero_copy_only=False
+            )
+        return total
+
+    def metrics(self, col) -> dict[str, np.ndarray]:
+        """All quality metrics from an Arrow string column (nulls → '')."""
+        s = pc.fill_null(col, "")
+        length = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+        punct_n = pc.count_substring_regex(s, self.PUNCT_PAT).to_numpy(
+            zero_copy_only=False
+        )
+        n_words_raw = pc.count_substring_regex(s, self.WORD_PAT).to_numpy(
+            zero_copy_only=False
+        )
+        word_chars = pc.count_substring_regex(s, self.WORDCHAR_PAT).to_numpy(
+            zero_copy_only=False
+        )
+        stop = self._stop_count(s)
+        n_words = np.maximum(n_words_raw, 1)
+        punct = punct_n / np.maximum(length, 1)
         stop_ratio = stop / n_words
-        word_chars = s.str.count(self.wordchar_re)
-        mean_wl = (word_chars / n_words).where(n_words_raw > 0, 0.0)
-        batch["q_len"] = length.astype("int64")
-        batch["q_punct_ratio"] = punct.astype("float64")
-        batch["q_stop_ratio"] = stop_ratio.astype("float64")
-        batch["q_mean_wordlen"] = mean_wl.astype("float64")
+        mean_wl = np.where(n_words_raw > 0, word_chars / n_words, 0.0)
+        return {
+            "q_len": length,
+            "q_punct_ratio": punct.astype(np.float64),
+            "q_stop_ratio": stop_ratio.astype(np.float64),
+            "q_mean_wordlen": mean_wl.astype(np.float64),
+            "n_words_raw": n_words_raw.astype(np.int64),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.metrics(batch.column(self.text_col))
+        for name in ("q_len", "q_punct_ratio", "q_stop_ratio", "q_mean_wordlen"):
+            batch = batch.append_column(name, pa.array(m[name]))
         # composite score in [0,1]: long enough, some stopwords, sane word len
         score = (
-            np.clip(length / 500.0, 0, 1) * 0.4
-            + np.clip(stop_ratio / 0.4, 0, 1) * 0.4
-            + np.clip(1 - np.abs(mean_wl - 4.5) / 4.5, 0, 1) * 0.2
+            np.clip(m["q_len"] / 500.0, 0, 1) * 0.4
+            + np.clip(m["q_stop_ratio"] / 0.4, 0, 1) * 0.4
+            + np.clip(1 - np.abs(m["q_mean_wordlen"] - 4.5) / 4.5, 0, 1) * 0.2
         )
-        batch["quality"] = score.astype("float64")
-        return batch
+        return batch.append_column("quality", pa.array(score.astype(np.float64)))
 
 
-# whitespace tokens plus a BPE-ish sub-token regex (GPT-2-style pieces)
-_BPE_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+(?!\S)|\s+")
+# BPE-ish sub-token pieces (GPT-2-style contractions/words/digits/punct).
+# CANONICAL pattern is RE2-safe (plain \s+ — no lookahead), so the same
+# pattern runs verbatim in pyarrow (count_substring_regex), in Python re,
+# and in DuckDB SQL oracles (len(regexp_extract_all(...))). The GPT-2
+# lookahead branch \s+(?!\S) only changes how a run's last whitespace char
+# attaches (count differs on tab-before-token and space-quote shapes), and
+# this metric is a token-budget heuristic, not a tokenizer contract — one
+# engine-independent definition beats a Python-re-only one.
+_BPE_PAT_RE2 = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+"
+_BPE_RE = re.compile(_BPE_PAT_RE2)
 
 
 class TokenCount:
     """Adds ``n_ws_tokens`` (whitespace) and ``n_bpe_tokens`` (regex-piece)
-    counts per document."""
+    counts per document — two RE2 kernel passes, no per-row Python."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[self.text_col].fillna("")
-        # vectorized non-overlapping match counts ≡ len(findall) — the
-        # previous split().map(len) / per-row findall allocated a Python
-        # list per row in the hottest text stage
-        batch["n_ws_tokens"] = s.str.count(r"\S+").astype("int64")
-        batch["n_bpe_tokens"] = s.str.count(_BPE_RE).astype("int64")
-        return batch
+    def counts(self, col) -> dict[str, np.ndarray]:
+        s = pc.fill_null(col, "")
+        return {
+            "n_ws_tokens": pc.count_substring_regex(s, r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "n_bpe_tokens": pc.count_substring_regex(s, _BPE_PAT_RE2)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        c = self.counts(batch.column(self.text_col))
+        batch = batch.append_column("n_ws_tokens", pa.array(c["n_ws_tokens"]))
+        return batch.append_column("n_bpe_tokens", pa.array(c["n_bpe_tokens"]))
 
 
 class Fingerprint:
@@ -246,17 +301,19 @@ class TextAnalyzer:
         self.fp = Fingerprint(text_col)
         self.text_col = text_col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[self.text_col]
-        preds, scores = self.lang.predict_series(texts)
-        batch["lang_pred"] = pd.Series(preds, index=batch.index, dtype="object")
-        batch["lang_score"] = pd.Series(scores, index=batch.index, dtype="float32")
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_col)
+        preds, scores = self.lang.predict_arrow(col)
+        batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        batch = batch.append_column("lang_score", pa.array(scores, pa.float32()))
         batch = self.quality(batch)
         batch = self.tokens(batch)
-        batch["fingerprint"] = pd.Series(
-            self.fp.fingerprints_batch(texts.tolist()), index=batch.index
+        # fingerprint stays a numpy rolling-hash pass (no Arrow kernel for
+        # sliding-window dot products); texts cross into Python ONCE here
+        return batch.append_column(
+            "fingerprint",
+            pa.array(self.fp.fingerprints_batch(col.to_pylist()), pa.int64()),
         )
-        return batch
 
 
 # per-worker-process singleton: TextAnalyzer's setup (regex compile, profile
@@ -266,7 +323,7 @@ class TextAnalyzer:
 _ANALYZERS: dict[str, TextAnalyzer] = {}
 
 
-def _analyze_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+def _analyze_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     an = _ANALYZERS.get(text_col)
     if an is None:
         an = _ANALYZERS[text_col] = TextAnalyzer(text_col)
@@ -282,7 +339,8 @@ def analyze(ds, text_col: str = "text", concurrency: int | None = None):
     if concurrency:
         return ds.map_batches(
             TextAnalyzer,
-            batch_format="pandas",
+            batch_format="pyarrow",
+            zero_copy_batch=True,
             fn_constructor_kwargs={"text_col": text_col},
             concurrency=concurrency,
             num_cpus=1,
@@ -291,7 +349,8 @@ def analyze(ds, text_col: str = "text", concurrency: int | None = None):
 
     return ds.map_batches(
         functools.partial(_analyze_batch, text_col=text_col),
-        batch_format="pandas",
+        batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=None,
     )
 
@@ -303,7 +362,7 @@ def analyze(ds, text_col: str = "text", concurrency: int | None = None):
 _STAGES: dict[tuple[str, str], object] = {}
 
 
-def _stage_batch(batch: pd.DataFrame, cls=None, text_col: str = "text") -> pd.DataFrame:
+def _stage_batch(batch: pa.Table, cls=None, text_col: str = "text") -> pa.Table:
     key = (cls.__name__, text_col)
     st = _STAGES.get(key)
     if st is None:
@@ -317,7 +376,7 @@ def token_counts(ds, text_col: str = "text"):
 
     return ds.map_batches(
         functools.partial(_stage_batch, cls=TokenCount, text_col=text_col),
-        batch_format="pandas", batch_size=None,
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
 
 
@@ -328,12 +387,12 @@ def quality(ds, text_col: str = "text"):
 
     return ds.map_batches(
         functools.partial(_stage_batch, cls=QualityScore, text_col=text_col),
-        batch_format="pandas", batch_size=None,
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
 
 
 def _quality_filter_batch(
-    batch: pd.DataFrame,
+    batch: pa.Table,
     text_col: str,
     min_words: int,
     max_words: int,
@@ -341,26 +400,21 @@ def _quality_filter_batch(
     max_mean_wordlen: float,
     max_punct_ratio: float,
     min_stop_ratio: float,
-) -> pd.DataFrame:
+) -> pa.Table:
     qs = _STAGES.get(("QualityScore", text_col))
     if qs is None:
         qs = _STAGES[("QualityScore", text_col)] = QualityScore(text_col)
-    s = batch[text_col].fillna("")
-    length = s.str.len()
-    n_words = s.str.count(qs.word_re)
-    punct = s.str.count(qs.punct_re) / length.clip(lower=1)
-    stop_ratio = s.str.count(qs.stop_re) / n_words.clip(lower=1)
-    word_chars = s.str.count(qs.wordchar_re)
-    mean_wl = (word_chars / n_words.clip(lower=1)).where(n_words > 0, 0.0)
+    m = qs.metrics(batch.column(text_col))
+    n_words = m["n_words_raw"]
     keep = (
         (n_words >= min_words)
         & (n_words <= max_words)
-        & (mean_wl >= min_mean_wordlen)
-        & (mean_wl <= max_mean_wordlen)
-        & (punct <= max_punct_ratio)
-        & (stop_ratio >= min_stop_ratio)
+        & (m["q_mean_wordlen"] >= min_mean_wordlen)
+        & (m["q_mean_wordlen"] <= max_mean_wordlen)
+        & (m["q_punct_ratio"] <= max_punct_ratio)
+        & (m["q_stop_ratio"] >= min_stop_ratio)
     )
-    return batch[keep]
+    return batch.filter(pa.array(keep))
 
 
 def quality_filter(
@@ -395,7 +449,8 @@ def quality_filter(
             max_punct_ratio=max_punct_ratio,
             min_stop_ratio=min_stop_ratio,
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=None,
     )
 
@@ -412,13 +467,12 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
-def _redact_batch(df: pd.DataFrame, text_col: str, patterns) -> pd.DataFrame:
-    s = df[text_col].fillna("")
+def _redact_batch(t: pa.Table, text_col: str, patterns) -> pa.Table:
+    s = t.column(text_col)
     for pat, token in patterns:
-        s = s.str.replace(pat, token, regex=True)
-    out = df.copy()
-    out[text_col] = s.where(df[text_col].notna(), None)
-    return out
+        # RE2 kernel; nulls propagate (stay null) through every pass
+        s = pc.replace_substring_regex(s, pat, token)
+    return t.set_column(t.column_names.index(text_col), text_col, s)
 
 
 def redact_pii(ds, text_col: str = "text", patterns=None):
@@ -435,6 +489,7 @@ def redact_pii(ds, text_col: str = "text", patterns=None):
             _redact_batch, text_col=text_col,
             patterns=patterns or PII_PATTERNS,
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
+        zero_copy_batch=True,
         batch_size=None,
     )
