@@ -35,14 +35,17 @@ log is idempotent because the merge is last-writer-wins on ``_lsn``.
 
 Deployment shape: the table's DURABLE state (manifests, data files, staged
 outputs) goes through ``pyarrow.fs`` (``filesystem=`` injectable), so the
-lake itself can live on an object store. The spill EXCHANGE is different:
-map tasks write Arrow-IPC files that merge tasks on other nodes
-``memory_map``, so ``spill_scratch`` must be CLUSTER-SHARED POSIX storage
-(NFS/Lustre/EFS-style — the classic external-shuffle scratch). With the
-default local filesystem the scratch defaults to the table's own staging
-area and nothing changes; with a remote table filesystem pass
-``spill_scratch=`` explicitly (a pure object-store exchange would need the
-spills re-hosted in the Ray object store or node-affinity merges).
+lake itself can live on an object store. The spill EXCHANGE picks its
+placement per deployment:
+- POSIX scratch (default on a local table fs, or pass ``spill_scratch=`` for
+  cluster-shared NFS/Lustre/EFS): map tasks write Arrow-IPC files that merge
+  tasks ``memory_map`` — the fastest path (zero-copy reads).
+- Pure object-store exchange (remote table fs, NO ``spill_scratch``): spills
+  are written THROUGH the table's own pyarrow.fs under the transaction's
+  staging dir; merge tasks issue ranged reads (IPC footer + exactly their
+  record batch). Nothing requires shared POSIX anywhere — the whole engine
+  runs against plain S3-style storage — at the cost of the exchange volume
+  crossing the object store once in each direction.
 
 Scale notes (100 TB design point):
 - ``num_partitions`` should be ≥ 2× cluster cores; one partition = one merge
@@ -156,9 +159,14 @@ class SpillWriter:
     decompression stays ~GB/s per core.
     """
 
-    def __init__(self, num_partitions: int, spill_dir: str):
+    def __init__(self, num_partitions: int, spill_dir: str, fs=None):
         self.num_partitions = num_partitions
         self.spill_dir = spill_dir
+        # fs=None → POSIX scratch (OSFile + atomic os.replace); a pyarrow fs
+        # → pure object-store exchange (stream + move; on object stores a
+        # single PUT is object-atomic, and only files named by returned
+        # index rows are ever read, so torn writes are unreachable anyway)
+        self.fs = fs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import uuid
@@ -193,14 +201,21 @@ class SpillWriter:
         # files named by returned index rows are ever read (orphans are wiped
         # with the txn's staging dir at commit)
         fname = f"spill-{uuid.uuid4().hex}.arrow"
-        path = os.path.join(self.spill_dir, fname)
         opts = pa.ipc.IpcWriteOptions(compression="lz4")
-        tmp = path + ".tmp"
-        with pa.OSFile(tmp, "wb") as sink:
-            with pa.ipc.new_file(sink, t.schema, options=opts) as w:
-                for s, e in zip(starts, ends):
-                    w.write_batch(t.slice(s, e - s).to_batches()[0])
-        os.replace(tmp, path)
+        if self.fs is None:
+            path = os.path.join(self.spill_dir, fname)
+            tmp = path + ".tmp"
+            with pa.OSFile(tmp, "wb") as sink:
+                with pa.ipc.new_file(sink, t.schema, options=opts) as w:
+                    for s, e in zip(starts, ends):
+                        w.write_batch(t.slice(s, e - s).to_batches()[0])
+            os.replace(tmp, path)
+        else:
+            path = posixpath.join(self.spill_dir, fname)
+            with self.fs.open_output_stream(path) as sink:
+                with pa.ipc.new_file(sink, t.schema, options=opts) as w:
+                    for s, e in zip(starts, ends):
+                        w.write_batch(t.slice(s, e - s).to_batches()[0])
         return self._index(
             [int(pvals[s]) for s in starts],
             list(range(len(starts))),
@@ -254,6 +269,7 @@ class MergePartition:
         current_files: dict[int, list],
         fs=None,
         spill_dir: Optional[str] = None,
+        spill_fs=None,
     ):
         import pyarrow.fs as pafs
 
@@ -262,7 +278,10 @@ class MergePartition:
         self.current_files = current_files
         self.fs = fs if fs is not None else pafs.LocalFileSystem()
         self.staging_dir = posixpath.join(table_dir, "staging", txn_id)
-        # spills are mmap'd — always a POSIX path (shared scratch)
+        # spill_fs=None → POSIX scratch, mmap'd (zero-copy reads);
+        # a pyarrow fs → object-store exchange, ranged reads (IPC footer +
+        # exactly this task's record batch — never the whole spill file)
+        self.spill_fs = spill_fs
         self.spill_dir = spill_dir or posixpath.join(self.staging_dir, "spills")
         self._readers: dict[str, pa.ipc.RecordBatchFileReader] = {}
 
@@ -271,7 +290,13 @@ class MergePartition:
         for fname, bidx in spills:
             r = self._readers.get(fname)
             if r is None:
-                r = pa.ipc.open_file(pa.memory_map(os.path.join(self.spill_dir, fname)))
+                if self.spill_fs is None:
+                    src = pa.memory_map(os.path.join(self.spill_dir, fname))
+                else:
+                    src = self.spill_fs.open_input_file(
+                        posixpath.join(self.spill_dir, fname)
+                    )
+                r = pa.ipc.open_file(src)
                 self._readers[fname] = r
             tabs.append(pa.Table.from_batches([r.get_batch(int(bidx))]))
         return concat_reconciled(tabs)
@@ -419,17 +444,21 @@ class CdcTable:
         self.fs, self.table_dir = fsio.resolve_fs(table_dir, filesystem)
         self.num_partitions = num_partitions
         self._local = isinstance(self.fs, pafs.LocalFileSystem)
-        if spill_scratch is None and not self._local:
-            raise ValueError(
-                "CdcTable on a non-local filesystem needs spill_scratch= — "
-                "a cluster-shared POSIX path for the mmap'd spill exchange "
-                "(the durable table state lives on the given filesystem)"
+        # Exchange placement: with a POSIX scratch (explicit, or implicit on
+        # a local table fs) spills are mmap'd from cluster-shared POSIX
+        # storage — the fastest path. On a remote table fs with NO scratch,
+        # spills go THROUGH the table's own pyarrow.fs under the txn staging
+        # dir (spill_mode="fs"): a pure object-store exchange — merge tasks
+        # read their record batch via ranged reads instead of mmap, and the
+        # spills share the durable store's resume/cleanup lifecycle.
+        if spill_scratch is not None or self._local:
+            self.spill_mode = "posix"
+            self.spill_scratch = spill_scratch or posixpath.join(
+                self.table_dir, "staging"
             )
-        # POSIX scratch for the spill exchange; defaults to the table's own
-        # staging area when the table itself is on local/shared-POSIX storage
-        self.spill_scratch = spill_scratch or posixpath.join(
-            self.table_dir, "staging"
-        )
+        else:
+            self.spill_mode = "fs"
+            self.spill_scratch = None
         for sub in ("manifests", "data", "staging"):
             self.fs.create_dir(posixpath.join(self.table_dir, sub), recursive=True)
 
@@ -674,19 +703,29 @@ class CdcTable:
         _t0 = _time.perf_counter()
         self._last_metrics = {}
         txn_dir = posixpath.join(self.table_dir, "staging", txn_id)
-        # spills live on the POSIX scratch (mmap'd by merge tasks); with a
-        # local table filesystem this is the same staging directory as before
-        spill_dir = os.path.join(self.spill_scratch, txn_id, "spills")
+        # spill placement (see CdcTable.__init__): POSIX scratch (mmap'd by
+        # merge tasks) when available, else THROUGH the table's pyarrow.fs
+        # under the txn staging dir (pure object-store exchange)
+        if self.spill_mode == "posix":
+            spill_dir = os.path.join(self.spill_scratch, txn_id, "spills")
+            spill_fs = None
+            spill_exists = lambda f: os.path.exists(os.path.join(spill_dir, f))  # noqa: E731
+        else:
+            spill_dir = posixpath.join(txn_dir, "spills")
+            spill_fs = self.fs
+            spill_exists = lambda f: fsio.exists(  # noqa: E731
+                self.fs, posixpath.join(spill_dir, f)
+            )
         marker = posixpath.join(txn_dir, "DELTA_DONE")
         index_path = posixpath.join(txn_dir, "spill-index.json")
         resume = fsio.exists(self.fs, marker)
         if resume:
-            # the marker/index live on the DURABLE table fs while spills live
-            # on the (possibly node-local) POSIX scratch — if the scratch was
-            # lost after the marker was written, blindly trusting the marker
-            # would make every merge retry fail on missing spill files with
-            # no recovery path. Verify the referenced files still exist; if
-            # any is gone, clear the marker and rewrite the spills.
+            # the marker/index live on the DURABLE table fs while spills may
+            # live on a (possibly node-local) POSIX scratch — if the scratch
+            # was lost after the marker was written, blindly trusting the
+            # marker would make every merge retry fail on missing spill files
+            # with no recovery path. Verify the referenced files still exist;
+            # if any is gone, clear the marker and rewrite the spills.
             by_part = {
                 int(k): v for k, v in fsio.read_json(self.fs, index_path).items()
             }
@@ -694,7 +733,7 @@ class CdcTable:
                 f
                 for spills in by_part.values()
                 for f, _bi, _n in spills
-                if not os.path.exists(os.path.join(spill_dir, f))
+                if not spill_exists(f)
             ]
             if missing:
                 logger.warning(
@@ -706,12 +745,16 @@ class CdcTable:
                 self.fs.delete_file(marker)
                 resume = False
         if not resume:
-            if os.path.exists(spill_dir):  # partial write from a crashed run
-                import shutil
+            if self.spill_mode == "posix":
+                if os.path.exists(spill_dir):  # partial write, crashed run
+                    import shutil
 
-                shutil.rmtree(spill_dir)
-            os.makedirs(spill_dir, exist_ok=True)
-            writer = SpillWriter(self.num_partitions, spill_dir)
+                    shutil.rmtree(spill_dir)
+                os.makedirs(spill_dir, exist_ok=True)
+            else:
+                fsio.delete_dir(self.fs, spill_dir)
+                self.fs.create_dir(spill_dir, recursive=True)
+            writer = SpillWriter(self.num_partitions, spill_dir, fs=spill_fs)
             index_rows = prepped.map_batches(
                 writer, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
             ).take_all()
@@ -767,7 +810,7 @@ class CdcTable:
             return []
         merge = MergePartition(
             self.table_dir, txn_id, current_files=current_files,
-            fs=self.fs, spill_dir=spill_dir,
+            fs=self.fs, spill_dir=spill_dir, spill_fs=spill_fs,
         )
         lineage = (
             # one block per partition → one merge TASK per partition (a single
@@ -873,7 +916,8 @@ class CdcTable:
         import shutil
 
         fsio.delete_dir(self.fs, posixpath.join(self.table_dir, "staging", txn_id))
-        shutil.rmtree(os.path.join(self.spill_scratch, txn_id), ignore_errors=True)
+        if self.spill_mode == "posix":  # fs-mode spills lived under staging/
+            shutil.rmtree(os.path.join(self.spill_scratch, txn_id), ignore_errors=True)
         return new_manifest
 
     # -- tail / compact ----------------------------------------------------
