@@ -927,6 +927,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.concat_tables(out.iter_batches(batch_format="pyarrow", batch_size=None))
 
+    def sessionize_sharded_events(sf_dir):
+        # memory-bounded sessionize (time-bucket shards + boundary
+        # stitching — VERDICT r4 #8): same per-key session counts as the
+        # plain path, same SQL oracle
+        from ray.data.aggregate import Count, Max
+
+        from wrangler_ray.ops.window import sessionize_sharded
+
+        sess = sessionize_sharded(
+            _read(sf_dir, "events", columns=["user_id", "ts"]),
+            key_col="user_id", ts_col="ts", gap="30 minute", shard="1 day",
+        )
+        out = sess.groupby("user_id").aggregate(
+            Max("session_id", alias_name="_max_sess"),
+            Count(alias_name="n_events"),
+        )
+
+        def finish(t):
+            n_sessions = pc.add(t.column("_max_sess"), 1)
+            return t.drop_columns(["_max_sess"]).append_column(
+                "n_sessions", n_sessions.cast(pa.int64())
+            )
+
+        out = out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        return pa.concat_tables(out.iter_batches(batch_format="pyarrow", batch_size=None))
+
     def date_format_orders(sf_dir):
         ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
         return apply_recipe(ds, ["format-date :o_orderdate 'yyyy-MM-dd'"])
@@ -1565,6 +1591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in round 5
         "cdc_objectstore_apply": cdc_objectstore_apply,
         "token_counts_docs": token_counts_docs,
+        "sessionize_sharded_events": sessionize_sharded_events,
         # -- new in round 4
         "dedup_index_pruned_invariant": dedup_index_pruned_invariant,
         "source_avro_roundtrip": source_avro_roundtrip,
@@ -2036,6 +2063,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN ws ON e.ts >= ws.window_start
                    AND e.ts < ws.window_start + INTERVAL 1 HOUR
             GROUP BY 1, 2
+        """,
+        "sessionize_sharded_events": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            )
+            SELECT user_id,
+                   count(*) AS n_events,
+                   CAST(sum(CASE WHEN prev IS NULL
+                             OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM d
+            GROUP BY user_id
         """,
         "sessionize_events": """
             WITH d AS (

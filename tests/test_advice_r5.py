@@ -280,3 +280,78 @@ def test_bpe_pattern_engine_parity():
             "SELECT len(regexp_extract_all(?, ?))", [s, _BPE_PAT_RE2]
         ).fetchone()[0]
         assert duck == want, f"{s!r}: duckdb={duck} python={want}"
+
+
+def test_sessionize_sharded_matches_plain(ray_session):
+    """VERDICT r4 #8: the memory-bounded sharded sessionize (time-bucket
+    shards + boundary stitching) must produce EXACTLY the session ids of
+    plain sessionize, including sessions that span shard boundaries and
+    keys with empty buckets between active ones."""
+    from wrangler_ray.ops.window import sessionize, sessionize_sharded
+
+    rng = np.random.RandomState(9)
+    rows = []
+    us_day = 86_400_000_000
+    for uid in range(6):
+        t = rng.randint(0, us_day)
+        for _ in range(rng.randint(30, 80)):
+            # mixture of small gaps (same session), medium (new session),
+            # and huge (skips whole buckets)
+            r = rng.rand()
+            t += int(
+                rng.randint(1, 20 * 60_000_000) if r < 0.6
+                else rng.randint(31 * 60_000_000, 3 * 3_600_000_000) if r < 0.9
+                else rng.randint(3 * us_day, 9 * us_day)
+            )
+            rows.append((uid, t))
+    # force boundary-straddling sessions: events 1 min apart across a 1-day
+    # bucket edge
+    for uid in (0, 1):
+        edge = 5 * us_day
+        rows += [(uid, edge - 30_000_000), (uid, edge + 30_000_000)]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], "datetime64[us]")),
+    })
+    ds = rd.from_arrow(t).repartition(8)
+    plain = sessionize(ds).to_pandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    shard = (
+        sessionize_sharded(ds, shard="1 day")
+        .to_pandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    )
+    assert list(plain.columns) == ["user_id", "ts", "session_id"]
+    assert sorted(shard.columns) == sorted(plain.columns)
+    pd.testing.assert_frame_equal(plain, shard[plain.columns])
+
+
+def test_sessionize_skew_within_2x_uniform(ray_session):
+    """VERDICT r4 #8 done-criterion: a corpus where ONE key holds 50% of all
+    rows must sessionize within 2× the uniform-key wall time (the group fn
+    is vectorized, so the hot group is compute-cheap; this pins that
+    property against per-row regressions)."""
+    import time
+
+    from wrangler_ray.ops.window import sessionize
+
+    rng = np.random.RandomState(5)
+    n = 400_000
+    ts = pa.array(np.sort(rng.randint(0, 10**12, n)).astype("datetime64[us]"))
+    uni = pa.table({
+        "user_id": pa.array((np.arange(n) % 500).astype(np.int64)), "ts": ts
+    })
+    sk = pa.table({
+        "user_id": pa.array(
+            np.where(rng.rand(n) < 0.5, 0, rng.randint(1, 500, n)).astype(np.int64)
+        ),
+        "ts": ts,
+    })
+    def run(t):
+        ds = rd.from_arrow(t).repartition(8).materialize()
+        t0 = time.perf_counter()
+        assert sessionize(ds).count() == n
+        return time.perf_counter() - t0
+
+    run(uni)  # warm
+    t_uni = min(run(uni) for _ in range(2))
+    t_skew = min(run(sk) for _ in range(2))
+    assert t_skew <= 2 * t_uni + 1.0, (t_skew, t_uni)

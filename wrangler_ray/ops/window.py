@@ -145,3 +145,128 @@ def session_stats(ds, key_col: str = "user_id", ts_col: str = "ts", gap: str = "
         )
 
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sessionize_sharded(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minute",
+    shard: str = "7 day",
+):
+    """Memory-bounded sessionize for keys whose FULL history exceeds one
+    group task's heap (plain ``sessionize`` holds a key's every event in one
+    task — fine for conversations, unbounded for a years-long hot stream).
+
+    Shape: shard each key by fixed time buckets (``shard`` wide), sessionize
+    each (key, bucket) group independently (bounded rows per task), then
+    STITCH at bucket boundaries: a tiny per-(key, bucket) summary
+    (first/last ts, local session count) is collected and scanned in bucket
+    order — a boundary whose inter-bucket gap ≤ ``gap`` merges the adjacent
+    sessions — producing a per-bucket session-id offset that a final
+    broadcast map adds to the local ids. Identical output to ``sessionize``
+    (pinned by test). Driver state = one row per (key, bucket) — bounded by
+    distinct key×bucket, never by events. Two shuffles instead of one; use
+    plain ``sessionize`` when per-key history is known-bounded."""
+    import ray
+
+    n, unit = gap.split()
+    us = {"second": 1_000_000, "minute": 60_000_000,
+          "hour": 3_600_000_000, "day": 86_400_000_000}
+    gap_us = int(n) * us[unit.rstrip("s")]
+    ns, units = shard.split()
+    span_us = int(ns) * us[units.rstrip("s")]
+    if span_us <= gap_us:
+        raise ValueError("shard span must exceed the session gap")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        # metadata stripped: pandas-written parquet carries a dict that makes
+        # the schema unhashable → Ray's shuffle schema-dedup warns per block
+        return t.replace_schema_metadata(None).append_column(
+            "_bucket", pc.divide(ts, span_us).cast(pa.int64())
+        )
+
+    def local_sessions(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(ts_col, "ascending")])
+        g = g.take(idx)
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        new_sess = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+        local = np.cumsum(new_sess) - 1
+        g = g.append_column("_local_sess", pa.array(local, pa.int64()))
+        g = g.append_column("_first_ts", pa.array(np.full(len(ts), ts[0] if len(ts) else 0), pa.int64()))
+        g = g.append_column("_last_ts", pa.array(np.full(len(ts), ts[-1] if len(ts) else 0), pa.int64()))
+        g = g.append_column("_n_sess", pa.array(np.full(len(ts), local[-1] + 1 if len(ts) else 0), pa.int64()))
+        return g
+
+    local = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "_bucket"])
+        .map_groups(local_sessions, batch_format="pyarrow")
+        .materialize()
+    )
+    # summaries: ONE row per (key, bucket) — the only thing the driver holds
+    import pandas as pd  # noqa: F811
+
+    summaries = (
+        local.select_columns([key_col, "_bucket", "_first_ts", "_last_ts", "_n_sess"])
+        .map_batches(
+            lambda t: pa.Table.from_pandas(
+                t.to_pandas().drop_duplicates([key_col, "_bucket"]),
+                preserve_index=False,
+            ).replace_schema_metadata(None),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .drop_duplicates([key_col, "_bucket"])
+        .sort_values([key_col, "_bucket"], kind="mergesort")
+    )
+    # sequential stitch per key (vectorized across the summary frame):
+    # offset_i = offset_{i-1} + n_sess_{i-1} - merge_{i}, where merge_i = 1
+    # when the boundary gap to the previous bucket of the SAME key <= gap
+    keys_np = summaries[key_col].to_numpy()
+    same_key = keys_np[1:] == keys_np[:-1]
+    first_ts = summaries["_first_ts"].to_numpy()
+    last_ts = summaries["_last_ts"].to_numpy()
+    n_sess = summaries["_n_sess"].to_numpy().astype(np.int64)
+    merge = np.zeros(len(summaries), dtype=np.int64)
+    merge[1:] = (same_key & ((first_ts[1:] - last_ts[:-1]) <= gap_us)).astype(np.int64)
+    # offset_i = Σ_{j<i, same key} n_sess_j − Σ_{j≤i, same key} merge_j
+    #          = (excl_i − excl_at_key_start) − merge_i
+    # with excl = exclusive prefix of delta = n_sess − merge (nondecreasing,
+    # since every nonempty bucket has n_sess ≥ 1 ≥ merge — which makes the
+    # maximum.accumulate forward-fill of per-key bases valid)
+    if len(summaries):
+        delta = n_sess - merge
+        excl = np.concatenate(([0], np.cumsum(delta)[:-1]))
+        grp_start = np.ones(len(summaries), dtype=bool)
+        grp_start[1:] = ~same_key
+        base = np.where(grp_start, excl, 0)
+        np.maximum.accumulate(base, out=base)
+        offsets = excl - base - merge
+    else:
+        offsets = np.zeros(0, np.int64)
+    off_map = {
+        (k, int(b)): int(o)
+        for k, b, o in zip(summaries[key_col], summaries["_bucket"], offsets)
+    }
+    off_ref = ray.put(off_map)
+
+    def apply_offsets(t: pa.Table) -> pa.Table:
+        m = ray.get(off_ref)
+        keys = t.column(key_col).to_pylist()
+        buckets = t.column("_bucket").to_numpy(zero_copy_only=False)
+        local_ids = t.column("_local_sess").to_numpy(zero_copy_only=False)
+        offs = np.fromiter(
+            (m[(k, int(b))] for k, b in zip(keys, buckets)), np.int64, len(keys)
+        )
+        t = t.append_column("session_id", pa.array(local_ids + offs, pa.int64()))
+        return t.drop_columns(
+            ["_bucket", "_local_sess", "_first_ts", "_last_ts", "_n_sess"]
+        )
+
+    return local.map_batches(
+        apply_offsets, batch_format="pyarrow", zero_copy_batch=True
+    )
