@@ -167,6 +167,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ],
         )
 
+    def recipe_lineage_chain(sf_dir):
+        # COMPILE-TIME field lineage of the directive_chain_docs recipe
+        # (VERDICT r4 #4): one row per (step, directive, relation, column),
+        # asserted against a constant SQL oracle — proves the lineage graph,
+        # not just that the chain runs
+        from wrangler_ray.pipeline import recipe_lineage
+
+        lin = recipe_lineage(
+            [
+                "lowercase :lang",
+                "filter-row exp:{lang == 'en'} false",
+                "set-column :text_len exp:{string:length(text)}",
+                "drop :source",
+            ]
+        )
+        rows = []
+        for i, d in enumerate(lin):
+            for c in d["reads"]:
+                rows.append((i, d["directive"], d["kind"], "read", c))
+            for c in d["writes"]:
+                rows.append((i, d["directive"], d["kind"], "write", c))
+        return pa.table(
+            {
+                "step": pa.array([r[0] for r in rows], pa.int64()),
+                "directive": pa.array([r[1] for r in rows], pa.string()),
+                "kind": pa.array([r[2] for r in rows], pa.string()),
+                "relation": pa.array([r[3] for r in rows], pa.string()),
+                "column": pa.array([r[4] for r in rows], pa.string()),
+            }
+        )
+
     def mask_hash_customer(sf_dir):
         ds = _read(sf_dir, "customer")
         return apply_recipe(
@@ -1592,6 +1623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_objectstore_apply": cdc_objectstore_apply,
         "token_counts_docs": token_counts_docs,
         "sessionize_sharded_events": sessionize_sharded_events,
+        "recipe_lineage_chain": recipe_lineage_chain,
         # -- new in round 4
         "dedup_index_pruned_invariant": dedup_index_pruned_invariant,
         "source_avro_roundtrip": source_avro_roundtrip,
@@ -1857,6 +1889,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, text, ts, lsn
             FROM ranked
             WHERE rn = 1 AND op <> 'D'
+        """,
+        "recipe_lineage_chain": """
+            SELECT * FROM (VALUES
+                (0, 'lowercase',  'transform', 'read',  'lang'),
+                (0, 'lowercase',  'transform', 'write', 'lang'),
+                (1, 'filter-row', 'filter',    'read',  'lang'),
+                (2, 'set-column', 'transform', 'read',  'text'),
+                (2, 'set-column', 'transform', 'write', 'text_len'),
+                (3, 'drop',       'drop',      'read',  'source')
+            ) AS t(step, directive, kind, relation, "column")
         """,
         "cdc_objectstore_apply": """
             WITH changes AS (

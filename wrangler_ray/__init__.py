@@ -18,6 +18,10 @@ composable Arrow-batch transforms executed as ``ray.data.Dataset`` pipelines:
 """
 
 from wrangler_ray.core.config import DirectiveConfig  # noqa: F401
-from wrangler_ray.pipeline import apply_recipe, compile_recipe  # noqa: F401
+from wrangler_ray.pipeline import (  # noqa: F401
+    apply_recipe,
+    compile_recipe,
+    recipe_lineage,
+)
 
 __version__ = "0.1.0"

@@ -61,11 +61,18 @@ class Directive:
     _READ_ATTRS = ("column", "columns", "src", "source", "c1", "c2", "expr")
     _WRITE_ATTRS = ("dst", "destination", "target")
 
+    # relation kind (reference api/lineage/Mutation relations): "transform"
+    # (writes derive from reads), "filter" (row predicate — reads only),
+    # "drop"/"keep" (column removal — reads name the affected columns),
+    # "generate" (parse-like ALL relation: output columns unknown until data)
+    lineage_kind: str = "transform"
+
     def lineage(self) -> dict:
-        """Declared (read, write) column sets, derived from the conventional
-        argument attribute names directives bind in ``__init__``. Directives
-        with unusual shapes can override. Expression-bearing directives
-        contribute the expression's referenced names as reads."""
+        """Declared (read, write) column sets + relation kind, derived from
+        the conventional argument attribute names directives bind in
+        ``__init__``. Directives with unusual shapes can override.
+        Expression-bearing directives contribute the expression's referenced
+        names as reads."""
         reads: list[str] = []
         writes: list[str] = []
 
@@ -87,9 +94,16 @@ class Directive:
                 _add(reads, v)
         for a in self._WRITE_ATTRS:
             _add(writes, getattr(self, a, None))
-        if not writes:
+        if self.lineage_kind in ("filter", "drop", "keep"):
+            writes = []  # predicates and column removals write nothing
+        elif not writes:
             writes = list(reads)  # in-place transforms write what they read
-        return {"directive": self.name, "reads": reads, "writes": writes}
+        return {
+            "directive": self.name,
+            "kind": self.lineage_kind,
+            "reads": reads,
+            "writes": writes,
+        }
 
 
 def directive(name: str, *aliases: str) -> Callable[[type], type]:

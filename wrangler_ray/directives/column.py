@@ -18,6 +18,7 @@ from wrangler_ray.directives.typeconv import convert_column
 
 @directive("drop")
 class Drop(Directive):
+    lineage_kind = "drop"
     """drop :col[,:col]* — remove columns (reference column/Drop.java).
     Missing columns are ignored (reference removes by name when present)."""
 
@@ -33,6 +34,7 @@ class Drop(Directive):
 
 @directive("keep")
 class Keep(Directive):
+    lineage_kind = "keep"
     """keep :col[,:col]* — keep only listed columns (reference column/Keep.java)."""
 
     usage = "keep :column [,:column]*"

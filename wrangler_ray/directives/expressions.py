@@ -59,6 +59,7 @@ class SetColumn(Directive):
 
 @directive("filter-row", "filter-row-if-true")
 class FilterRow(Directive):
+    lineage_kind = "filter"
     """filter-row exp:{...} true|false — condition TRUE ⇒ row is DROPPED
     (reference row/RecordConditionFilter.java:81-117; trailing `false`
     inverts). v1 alias filter-row-if-true keeps the same drop-on-true sense."""
@@ -79,6 +80,7 @@ class FilterRow(Directive):
 
 @directive("filter-row-if-false")
 class FilterRowIfFalse(Directive):
+    lineage_kind = "filter"
     """v1 alias: condition FALSE ⇒ row dropped (keep on true)."""
 
     usage = "filter-row-if-false exp:{condition}"

@@ -16,6 +16,7 @@ from wrangler_ray.core.registry import Directive, directive
 
 @directive("filter-by-regex", "filter-row-if-matched", "filter-regex")
 class FilterByRegex(Directive):
+    lineage_kind = "filter"
     """filter-by-regex if-matched|if-not-matched :col 'regex' (reference
     row/RecordRegexFilter.java:66-149). Full-match semantics; a null value in
     the column sends that row to the error channel (:102-106); a missing
@@ -54,6 +55,7 @@ class FilterByRegex(Directive):
 
 @directive("filter-empty-or-null", "filter-rows-on")
 class FilterEmptyOrNull(Directive):
+    lineage_kind = "filter"
     """filter-rows-on empty-or-null-columns :c[,:c]* — drop a row only when
     EVERY listed column is null/empty (reference
     row/RecordMissingOrNullFilter.java:69-90; we implement the cleaned intent:

@@ -209,6 +209,26 @@ class RecipeResult:
         return self.dataset.map_batches(keep_err, batch_format="pyarrow")
 
 
+def recipe_lineage(
+    recipe: Union[str, list[str]],
+    environment: Optional[dict] = None,
+    config=None,
+    migrate: bool = False,
+) -> list[dict]:
+    """COMPILE-TIME field-level lineage for a recipe (reference
+    lineage/LineageOperations.java:38-80 / api/lineage/Mutation): one entry
+    per directive, in chain order, each declaring its relation ``kind``
+    ("transform" | "filter" | "drop" | "keep" | "generate"), the columns it
+    ``reads`` and the columns it ``writes``. No data is touched — the graph
+    comes from argument binding alone, so it is available before execution
+    (the same declarations a recipe-bearing ``CdcTable.apply_changes``
+    records in the committed manifest as ``directive_lineage``)."""
+    return DirectiveChain(
+        compile_recipe(recipe, environment=environment, config=config,
+                       migrate=migrate)
+    ).lineage()
+
+
 def apply_recipe(
     ds,
     recipe: Union[str, list[str]],
