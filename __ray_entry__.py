@@ -167,6 +167,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ],
         )
 
+    def workspace_summary_docs(sf_dir):
+        # service façade (VERDICT r4 #6): upload → summary over a derived
+        # sample with known null / empty / type mixtures; every
+        # BasicStatistics metric (stats fractions + type-detector fractions)
+        # is re-computed by the SQL oracle with the same RE2 patterns
+        import pyarrow.parquet as pq_
+
+        from wrangler_ray.service import TYPE_PATTERNS, workspace_delete, workspace_upload
+
+        base = pq_.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        )
+        base = base.filter(pc.less(base.column("doc_id"), 200))
+        did = base.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = base.column("text").to_pylist()
+        langs = base.column("lang").to_pylist()
+        t = pa.table({
+            "doc_id": base.column("doc_id"),
+            "text2": pa.array(
+                [None if d % 5 == 0 else x for d, x in zip(did, texts)],
+                pa.string(),
+            ),
+            "lang2": pa.array(
+                ["" if d % 7 == 0 else x for d, x in zip(did, langs)],
+                pa.string(),
+            ),
+            "val": pa.array(
+                [
+                    [str(d), f"{d}.5", "true", "2024-01-02", f"{l}-x"][d % 5]
+                    for d, l in zip(did, langs)
+                ],
+                pa.string(),
+            ),
+        })
+        ws = workspace_upload("drv_summary", t, sampler="first", limit=100000)
+        s = ws.summary()
+        workspace_delete("drv_summary")
+        rows = []
+        for col in ("doc_id", "text2", "lang2", "val"):
+            st = s["columns"][col]["stats"]
+            rows.append((col, "null", st["null"]))
+            rows.append((col, "non-null", st["non-null"]))
+            if col != "doc_id":
+                rows.append((col, "empty", st.get("empty", 0.0)))
+                ty = s["columns"][col]["types"]
+                for tname, _pat in TYPE_PATTERNS + [("text", "")]:
+                    rows.append((col, f"type:{tname}", ty.get(tname, 0.0)))
+        return pa.table({
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "metric": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([round(r[2], 6) for r in rows], pa.float64()),
+        })
+
     def recipe_lineage_chain(sf_dir):
         # COMPILE-TIME field lineage of the directive_chain_docs recipe
         # (VERDICT r4 #4): one row per (step, directive, relation, column),
@@ -1624,6 +1678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_docs": token_counts_docs,
         "sessionize_sharded_events": sessionize_sharded_events,
         "recipe_lineage_chain": recipe_lineage_chain,
+        "workspace_summary_docs": workspace_summary_docs,
         # -- new in round 4
         "dedup_index_pruned_invariant": dedup_index_pruned_invariant,
         "source_avro_roundtrip": source_avro_roundtrip,
@@ -1889,6 +1944,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, text, ts, lsn
             FROM ranked
             WHERE rn = 1 AND op <> 'D'
+        """,
+        "workspace_summary_docs": """
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END AS text2,
+                       CASE WHEN doc_id % 7 = 0 THEN '' ELSE lang END AS lang2,
+                       CASE doc_id % 5
+                           WHEN 0 THEN CAST(doc_id AS VARCHAR)
+                           WHEN 1 THEN CAST(doc_id AS VARCHAR) || '.5'
+                           WHEN 2 THEN 'true'
+                           WHEN 3 THEN '2024-01-02'
+                           ELSE lang || '-x' END AS val
+                FROM documents WHERE doc_id < 200
+            ),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM s),
+            m AS (
+                SELECT col, v,
+                       CASE
+                           WHEN v IS NULL THEN 'null'
+                           WHEN regexp_matches(v, '^[+-]?\\d+$') THEN 'type:integer'
+                           WHEN regexp_matches(v, '^[+-]?(\\d+\\.\\d*|\\.\\d+)([eE][+-]?\\d+)?$') THEN 'type:number'
+                           WHEN regexp_matches(v, '^(?i)(true|false|yes|no|t|f)$') THEN 'type:boolean'
+                           WHEN regexp_matches(v, '^\\d{4}-\\d{2}-\\d{2}$') THEN 'type:date'
+                           WHEN regexp_matches(v, '^\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?') THEN 'type:datetime'
+                           ELSE 'type:text' END AS tkind
+                FROM (
+                    SELECT 'text2' AS col, text2 AS v FROM s
+                    UNION ALL SELECT 'lang2', lang2 FROM s
+                    UNION ALL SELECT 'val', val FROM s
+                )
+            ),
+            metrics(col, metric) AS (
+                SELECT c1.col, c2.metric FROM
+                (VALUES ('text2'), ('lang2'), ('val')) c1(col)
+                CROSS JOIN (VALUES ('null'), ('non-null'), ('empty'),
+                    ('type:integer'), ('type:number'), ('type:boolean'),
+                    ('type:date'), ('type:datetime'), ('type:text')) c2(metric)
+            ),
+            counted AS (
+                SELECT col,
+                       CASE WHEN metric = 'non-null' THEN 'non-null' ELSE metric END AS metric,
+                       val FROM (
+                    SELECT col, tkind AS metric,
+                           round(count(*) / (SELECT c FROM n), 6) AS val
+                    FROM m GROUP BY col, tkind
+                    UNION ALL
+                    SELECT col, 'non-null',
+                           round(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) / (SELECT c FROM n), 6)
+                    FROM m GROUP BY col
+                    UNION ALL
+                    SELECT col, 'empty',
+                           round(sum(CASE WHEN v = '' THEN 1 ELSE 0 END) / (SELECT c FROM n), 6)
+                    FROM m GROUP BY col
+                )
+            )
+            SELECT mt.col AS "column", mt.metric,
+                   coalesce(ct.val, 0.0) AS value
+            FROM metrics mt LEFT JOIN counted ct
+              ON mt.col = ct.col AND mt.metric = ct.metric
+            UNION ALL
+            SELECT 'doc_id', 'null', 0.0
+            UNION ALL
+            SELECT 'doc_id', 'non-null', 1.0
         """,
         "recipe_lineage_chain": """
             SELECT * FROM (VALUES
