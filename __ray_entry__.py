@@ -479,20 +479,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return exact_dedup(_read(sf_dir, "documents"), method="hash_ids")
 
+    # oracled since r5 (VERDICT r4 #7): minhash/ngram dedup DECIDE by exact
+    # shingle-set Jaccard on LSH candidates, so a SQL oracle computing the
+    # FULL exact-Jaccard graph (char-5-grams → pairwise Jaccard ≥ t →
+    # recursive-CTE min-label components → min-id survivors) reproduces the
+    # survivors exactly whenever LSH candidate recall is complete — verified
+    # to hold at sf0.001 AND sf0.01. A recall miss on a future corpus would
+    # surface as a red row (honest failure, not hidden approximation).
     def dedup_minhash_docs(sf_dir):
         from wrangler_ray.ops.dedup import minhash_lsh_dedup
 
         return minhash_lsh_dedup(_read(sf_dir, "documents"), jaccard_threshold=0.8)
 
+    # no_oracle (documented): simhash decides by HAMMING distance over its
+    # own projection bits — an oracle would have to replicate simhash
+    # itself. GREEN exact-oracle sibling: dedup_simhash_invariant.
     def dedup_simhash_docs(sf_dir):
         from wrangler_ray.ops.dedup import simhash_dedup
 
         return simhash_dedup(_read(sf_dir, "documents"))
 
     def dedup_embedding_vecs(sf_dir):
+        # oracled since r5: inject SCALED clones (×1.01 — cosine exactly 1.0
+        # with their original, but byte-different so the pre-exact pass
+        # can't collapse them: the LSH-bucket + exact-cosine verify + CC
+        # path does the work). Survivors must be exactly the original rows
+        # (clone merges to its original's min id; max cross-vector cosine
+        # in the corpus is ~0.51, far under 0.99 — no accidental merges).
+        import ray.data as rd_
+
         from wrangler_ray.ops.dedup import embedding_dedup
 
-        return embedding_dedup(_read(sf_dir, "embeddings"), cosine_threshold=0.99)
+        base = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        ids = base.column("vec_id").to_numpy(zero_copy_only=False)
+        sel = base.filter(pc.less(base.column("vec_id"), 50))
+        clones = pa.table({
+            "vec_id": pa.array(
+                sel.column("vec_id").to_numpy(zero_copy_only=False) + 1_000_000
+            ),
+            "embedding": pa.array(
+                [[v * 1.01 for v in row] for row in sel.column("embedding").to_pylist()],
+                sel.column("embedding").type,
+            ),
+            "label": sel.column("label"),
+        })
+        both = pa.concat_tables([
+            base.select(["vec_id", "embedding", "label"]), clones
+        ])
+        out = embedding_dedup(rd_.from_arrow(both), cosine_threshold=0.99)
+        # identity columns only: float-list hashing differs across engines
+        return out.select_columns(["vec_id", "label"])
 
     def similarity_topk(sf_dir):
         from wrangler_ray.ops.similarity import brute_force_topk
@@ -518,17 +554,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_cols(out, {"score": 3})
 
     def similarity_lsh_topk(sf_dir):
+        # oracled since r5 (VERDICT r4 #7): on THIS corpus true neighbors
+        # are unstructured (max cross cosine ~0.51), so recall@k of
+        # hyperplane LSH is inherently low — but SELF-retrieval is an exact
+        # guaranteed property (the query vector is a table row; an identical
+        # vector shares every hyperplane sign, so its bucket is always
+        # probed and cosine 1.0 always wins top-k). One row per query:
+        # self_found must be true.
         from wrangler_ray.ops.similarity import lsh_topk
 
         emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-        q = np.asarray(emb.column("embedding").to_pylist()[0], np.float32)[None, :]
-        out = lsh_topk(_read(sf_dir, "embeddings"), q, k=5, num_planes=10)
-        return _round_cols(out.drop_columns(["query_idx"]), {"score": 3})
+        Q = np.stack([
+            np.asarray(v, np.float32)
+            for v in emb.column("embedding").to_pylist()[:8]
+        ])
+        out = lsh_topk(_read(sf_dir, "embeddings"), Q, k=5, num_planes=10)
+        df = out.to_pandas()
+        found = [
+            bool((df[df.query_idx == qi]["vec_id"] == qi).any())
+            for qi in range(8)
+        ]
+        return pa.table({
+            "query_idx": pa.array(range(8), pa.int64()),
+            "self_found": pa.array(found, pa.bool_()),
+        })
 
     def text_analysis_docs(sf_dir):
+        # oracled since r5 (VERDICT r4 #7): the trigram-profile language-ID
+        # is pure substring-presence math, so the SQL oracle recomputes it
+        # verbatim (10 contains() per language + first-max tiebreak +
+        # the 0.15 'und' threshold), plus the composite quality score from
+        # the already-oracled metrics. The SQL-expressible q_*/token
+        # metrics live in text_analysis_sql_invariant; the fingerprint
+        # column (rolling-hash min — not SQL-expressible) is pinned by
+        # pytest instead.
         from wrangler_ray.ops.text import analyze
 
-        return analyze(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+        out = analyze(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+        t = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+        t = t.select(["doc_id", "lang_pred", "lang_score", "quality"])
+        return _round_cols(t, {"lang_score": 6, "quality": 6})
 
     def multimodal_images(sf_dir):
         # REAL decode: deterministic solid-color PNGs authored by the stdlib
@@ -1063,18 +1128,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_cols(t, {"null_pct": 4, "non_null_pct": 4})
 
     def dedup_ngram_docs(sf_dir):
+        # oracled since r5: exact char-5-gram Jaccard graph in SQL (see
+        # dedup_minhash_docs — same decision metric, higher-recall LSH)
         from wrangler_ray.ops.dedup import ngram_jaccard_dedup
 
         return ngram_jaccard_dedup(_read(sf_dir, "documents"), jaccard_threshold=0.8)
 
     def similarity_ivf_topk(sf_dir):
-        from wrangler_ray.ops.similarity import ivf_topk
+        # oracled since r5 (VERDICT r4 #7): with fixed seeds the IVF is
+        # deterministic, so the ANN result admits an exact recall@k oracle
+        # against the brute-force top-k — the query emits one row per fixed
+        # query with recall_ok = (|ivf∩brute| / k >= 0.6); measured recall
+        # is 1.0 for all 8 queries at sf0.001 AND sf0.01, so the 0.6
+        # threshold has wide margin while still failing on any real ANN
+        # regression (bad centroid assignment, broken probe merge)
+        from wrangler_ray.ops.similarity import brute_force_topk, ivf_topk
 
         emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-        q = np.asarray(emb.column("embedding").to_pylist()[0], np.float32)[None, :]
-        out = ivf_topk(_read(sf_dir, "embeddings"), q, k=5)
-        return _round_cols(out.drop_columns(["query_idx"]), {"score": 3})
+        Q = np.stack([
+            np.asarray(v, np.float32)
+            for v in emb.column("embedding").to_pylist()[:8]
+        ])
+        bf = brute_force_topk(_read(sf_dir, "embeddings"), Q, k=5).to_pandas()
+        iv = ivf_topk(_read(sf_dir, "embeddings"), Q, k=5).to_pandas()
+        ok = []
+        for qi in range(8):
+            b = set(bf[bf.query_idx == qi]["vec_id"])
+            a = set(iv[iv.query_idx == qi]["vec_id"])
+            ok.append(len(a & b) / 5 >= 0.6)
+        return pa.table({
+            "query_idx": pa.array(range(8), pa.int64()),
+            "recall_ok": pa.array(ok, pa.bool_()),
+        })
 
+    # no_oracle (documented): the reservoir draw depends on Ray block
+    # boundaries (per-block partials), so the sampled SET is not
+    # reproducible in SQL; sibling sample_reservoir_invariant certifies
+    # size/distinctness/range with an exact oracle.
     def sample_reservoir_docs(sf_dir):
         from wrangler_ray.ops.sampling import reservoir
 
@@ -1944,6 +2034,146 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, text, ts, lsn
             FROM ranked
             WHERE rn = 1 AND op <> 'D'
+        """,
+        "dedup_minhash_docs": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       CASE WHEN length(s) < 5 THEN rpad(s, 5, ' ') ELSE s END AS s
+                FROM (SELECT doc_id,
+                             lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g'))) AS s
+                      FROM documents)
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, substr(s, u, 5) AS g
+                FROM (SELECT doc_id, s, unnest(range(1, length(s) - 3)) AS u FROM d)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT ia, ib FROM inter
+                JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+                WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+            ),
+            bi AS (SELECT ia AS u, ib AS v FROM edges UNION ALL SELECT ib, ia FROM edges),
+            lp(id, lbl) AS (
+                SELECT doc_id, doc_id FROM d
+                UNION
+                SELECT bi.v, lp.lbl FROM lp JOIN bi ON bi.u = lp.id WHERE lp.lbl < bi.v
+            ),
+            survivors AS (
+                SELECT id FROM (SELECT id, min(lbl) AS m FROM lp GROUP BY id) WHERE m = id
+            )
+            SELECT doc.doc_id, doc.text, doc.lang, doc.source, doc.n_chars
+            FROM documents doc JOIN survivors s ON doc.doc_id = s.id
+        """,
+        "dedup_ngram_docs": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       CASE WHEN length(s) < 5 THEN rpad(s, 5, ' ') ELSE s END AS s
+                FROM (SELECT doc_id,
+                             lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g'))) AS s
+                      FROM documents)
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, substr(s, u, 5) AS g
+                FROM (SELECT doc_id, s, unnest(range(1, length(s) - 3)) AS u FROM d)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT ia, ib FROM inter
+                JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+                WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+            ),
+            bi AS (SELECT ia AS u, ib AS v FROM edges UNION ALL SELECT ib, ia FROM edges),
+            lp(id, lbl) AS (
+                SELECT doc_id, doc_id FROM d
+                UNION
+                SELECT bi.v, lp.lbl FROM lp JOIN bi ON bi.u = lp.id WHERE lp.lbl < bi.v
+            ),
+            survivors AS (
+                SELECT id FROM (SELECT id, min(lbl) AS m FROM lp GROUP BY id) WHERE m = id
+            )
+            SELECT doc.doc_id, doc.text, doc.lang, doc.source, doc.n_chars
+            FROM documents doc JOIN survivors s ON doc.doc_id = s.id
+        """,
+        "dedup_embedding_vecs": """
+            SELECT vec_id, label FROM embeddings
+        """,
+        "text_analysis_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS s,
+                       lower(substr(coalesce(text, ''), 1, 4002)) AS p,
+                       regexp_extract_all(coalesce(text, ''), '[A-Za-z'']+') AS words
+                FROM documents
+            ),
+            sc AS (
+                SELECT doc_id, s, words,
+                       (CASE WHEN contains(p, 'the') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'and') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'ing') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' th') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'of ') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'ion') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'to ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' an') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'ed ') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'is ') THEN 1 ELSE 0 END) / 10.0 AS s_en,
+                       (CASE WHEN contains(p, 'der') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'die') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'und') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'ein') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'sch') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'ich') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'den') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'cht') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'das') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'ung') THEN 1 ELSE 0 END) / 10.0 AS s_de,
+                       (CASE WHEN contains(p, 'les') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'de ') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'ent') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'le ') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'la ') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'des') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'que') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'ion') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'une') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'ais') THEN 1 ELSE 0 END) / 10.0 AS s_fr,
+                       (CASE WHEN contains(p, 'de ') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'la ') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'que') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'el ') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'los') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'ión') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'ado') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'con') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'una') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'por') THEN 1 ELSE 0 END) / 10.0 AS s_es,
+                       (CASE WHEN contains(p, 'di ') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'che') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'la ') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'il ') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'per') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'con') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'una') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'ione') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'non') THEN 1 ELSE 0 END + CASE WHEN contains(p, 'gli') THEN 1 ELSE 0 END) / 10.0 AS s_it
+                FROM t
+            ),
+            best AS (
+                SELECT doc_id, s, words,
+                       CASE
+                           WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_it THEN s_en
+                           WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_it THEN s_de
+                           WHEN s_fr >= s_es AND s_fr >= s_it THEN s_fr
+                           WHEN s_es >= s_it THEN s_es
+                           ELSE s_it END AS score,
+                       CASE
+                           WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_it THEN 'en'
+                           WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_it THEN 'de'
+                           WHEN s_fr >= s_es AND s_fr >= s_it THEN 'fr'
+                           WHEN s_es >= s_it THEN 'es'
+                           ELSE 'it' END AS pred
+                FROM sc
+            ),
+            q AS (
+                SELECT doc_id,
+                       CASE WHEN score > 0.15 THEN pred ELSE 'und' END AS lang_pred,
+                       round(score, 6) AS lang_score,
+                       length(s) AS q_len,
+                       CAST(len(list_filter(words, w -> lower(w) IN (
+                           'the','and','of','a','to','in','is','it','that','for',
+                           'on','as','with','was','at','by','an','be','this','are')))
+                           AS DOUBLE) / greatest(len(words), 1) AS stop_ratio,
+                       CASE WHEN len(words) > 0
+                            THEN CAST(len(regexp_extract_all(s, '[A-Za-z'']')) AS DOUBLE)
+                                 / len(words) ELSE 0 END AS mean_wl
+                FROM best
+            )
+            SELECT doc_id, lang_pred, lang_score,
+                   round(
+                       least(greatest(q_len / 500.0, 0), 1) * 0.4
+                       + least(greatest(stop_ratio / 0.4, 0), 1) * 0.4
+                       + least(greatest(1 - abs(mean_wl - 4.5) / 4.5, 0), 1) * 0.2,
+                   6) AS quality
+            FROM q
+        """,
+        "similarity_lsh_topk": """
+            SELECT * FROM (VALUES
+                (0, true), (1, true), (2, true), (3, true),
+                (4, true), (5, true), (6, true), (7, true)
+            ) AS t(query_idx, self_found)
+        """,
+        "similarity_ivf_topk": """
+            SELECT * FROM (VALUES
+                (0, true), (1, true), (2, true), (3, true),
+                (4, true), (5, true), (6, true), (7, true)
+            ) AS t(query_idx, recall_ok)
         """,
         "workspace_summary_docs": """
             WITH s AS (
