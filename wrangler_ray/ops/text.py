@@ -112,34 +112,41 @@ class QualityScore:
     def _stop_count(self, s) -> np.ndarray:
         """Count word tokens (maximal [A-Za-z']+ runs) equal to a stopword,
         case-insensitively, WITHOUT lookarounds (RE2 has none): lowercase,
-        squash every non-token run to TWO spaces (so adjacent ' w ' literals
-        can never overlap), pad, then one literal C++ substring count per
-        stopword. Equivalent to the lookaround regex
-        (?<![A-Za-z'])(?:w1|w2|…)(?![A-Za-z'])."""
+        squash every non-token run to TWO spaces (so adjacent ' w ' matches
+        can never overlap), pad, then ONE alternation-regex count pass —
+        the trailing-space literal disambiguates prefixes ('a' never steals
+        'as'), so each token matches at most once. Equivalent to the
+        lookaround regex (?<![A-Za-z'])(?:w1|w2|…)(?![A-Za-z'])."""
         squashed = pc.replace_substring_regex(
             pc.utf8_lower(s), "[^a-z']+", "  "
         )
         padded = pc.binary_join_element_wise(" ", squashed, " ", "")
-        total = np.zeros(len(s), np.int64)
-        for w in self.stop_words:
-            total += pc.count_substring(padded, f" {w} ").to_numpy(
-                zero_copy_only=False
-            )
-        return total
+        pat = " (?:" + "|".join(self.stop_words) + ") "
+        return pc.count_substring_regex(padded, pat).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
 
     def metrics(self, col) -> dict[str, np.ndarray]:
-        """All quality metrics from an Arrow string column (nulls → '')."""
+        """All quality metrics from an Arrow string column (nulls → '').
+
+        Per-CHAR counts (punct, word chars) go through replace-then-length
+        — one RE2 pass per metric — instead of count_substring_regex on a
+        single-char class, whose per-MATCH overhead made it ~4× slower than
+        the whole rest of the stage (measured: [A-Za-z'] count 39k docs/s
+        vs 150k via length-diff on the sf corpus)."""
         s = pc.fill_null(col, "")
-        length = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
-        punct_n = pc.count_substring_regex(s, self.PUNCT_PAT).to_numpy(
-            zero_copy_only=False
-        )
+        length_arr = pc.utf8_length(s)
+        length = length_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        punct_n = pc.subtract(
+            length_arr,
+            pc.utf8_length(pc.replace_substring_regex(s, self.PUNCT_PAT + "+", "")),
+        ).to_numpy(zero_copy_only=False)
         n_words_raw = pc.count_substring_regex(s, self.WORD_PAT).to_numpy(
             zero_copy_only=False
         )
-        word_chars = pc.count_substring_regex(s, self.WORDCHAR_PAT).to_numpy(
-            zero_copy_only=False
-        )
+        word_chars = pc.utf8_length(
+            pc.replace_substring_regex(s, "[^A-Za-z']+", "")
+        ).to_numpy(zero_copy_only=False)
         stop = self._stop_count(s)
         n_words = np.maximum(n_words_raw, 1)
         punct = punct_n / np.maximum(length, 1)
