@@ -92,3 +92,10 @@ def test_workspace_samplers_and_sources(ray_session, tmp_path):
         workspace_upload("bad", rd.from_arrow(t), sampler="systematic")
     for n in ("wf", "wb", "wr"):
         workspace_delete(n)
+
+
+def test_workspace_poisson_sampler(ray_session):
+    t = pa.table({"x": pa.array(range(1000), pa.int64())})
+    ws = workspace_upload("wp", rd.from_arrow(t), sampler="poisson", limit=64)
+    assert 0 < ws.sample.num_rows <= 64
+    workspace_delete("wp")

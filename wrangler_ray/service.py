@@ -50,7 +50,13 @@ def _sample_dataset(ds, sampler: str, limit: int, seed: int):
         return sampling.bernoulli(ds, frac, seed=seed).limit(limit)
     if sampler == "reservoir":
         return sampling.reservoir(ds, limit, seed=seed)
-    raise ValueError(f"unknown sampler {sampler!r} (first|bernoulli|reservoir)")
+    if sampler == "poisson":
+        n = ds.count()
+        mean = min(1.0, (limit * 1.25) / max(n, 1))
+        return sampling.poisson(ds, mean, seed=seed).limit(limit)
+    raise ValueError(
+        f"unknown sampler {sampler!r} (first|bernoulli|poisson|reservoir)"
+    )
 
 
 class Workspace:
