@@ -18,9 +18,9 @@ from wrangler_ray.directives.typeconv import convert_column
 
 @directive("drop")
 class Drop(Directive):
-    lineage_kind = "drop"
     """drop :col[,:col]* — remove columns (reference column/Drop.java).
     Missing columns are ignored (reference removes by name when present)."""
+    lineage_kind = "drop"
 
     usage = "drop :column [,:column]*"
 
@@ -34,8 +34,8 @@ class Drop(Directive):
 
 @directive("keep")
 class Keep(Directive):
-    lineage_kind = "keep"
     """keep :col[,:col]* — keep only listed columns (reference column/Keep.java)."""
+    lineage_kind = "keep"
 
     usage = "keep :column [,:column]*"
 

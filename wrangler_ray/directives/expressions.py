@@ -59,10 +59,10 @@ class SetColumn(Directive):
 
 @directive("filter-row", "filter-row-if-true")
 class FilterRow(Directive):
-    lineage_kind = "filter"
     """filter-row exp:{...} true|false — condition TRUE ⇒ row is DROPPED
     (reference row/RecordConditionFilter.java:81-117; trailing `false`
     inverts). v1 alias filter-row-if-true keeps the same drop-on-true sense."""
+    lineage_kind = "filter"
 
     usage = "filter-row exp:{condition} [true|false]"
 
@@ -80,8 +80,8 @@ class FilterRow(Directive):
 
 @directive("filter-row-if-false")
 class FilterRowIfFalse(Directive):
-    lineage_kind = "filter"
     """v1 alias: condition FALSE ⇒ row dropped (keep on true)."""
+    lineage_kind = "filter"
 
     usage = "filter-row-if-false exp:{condition}"
 

@@ -16,11 +16,11 @@ from wrangler_ray.core.registry import Directive, directive
 
 @directive("filter-by-regex", "filter-row-if-matched", "filter-regex")
 class FilterByRegex(Directive):
-    lineage_kind = "filter"
     """filter-by-regex if-matched|if-not-matched :col 'regex' (reference
     row/RecordRegexFilter.java:66-149). Full-match semantics; a null value in
     the column sends that row to the error channel (:102-106); a missing
     column keeps the row (:127-129)."""
+    lineage_kind = "filter"
 
     usage = "filter-by-regex if-matched|if-not-matched :col 'regex'"
 
@@ -55,11 +55,11 @@ class FilterByRegex(Directive):
 
 @directive("filter-empty-or-null", "filter-rows-on")
 class FilterEmptyOrNull(Directive):
-    lineage_kind = "filter"
     """filter-rows-on empty-or-null-columns :c[,:c]* — drop a row only when
     EVERY listed column is null/empty (reference
     row/RecordMissingOrNullFilter.java:69-90; we implement the cleaned intent:
     keep if any listed column is non-null or missing, emit once)."""
+    lineage_kind = "filter"
 
     usage = "filter-rows-on empty-or-null-columns :col [,:col]*"
 
