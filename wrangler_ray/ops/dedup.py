@@ -148,8 +148,8 @@ def _exact_dedup_hash_ids(ds, text_col: str, id_col: str, num_buckets: int):
         )
 
     # dropped ids, id-sorted → range-partitioned blocks in the OBJECT STORE;
-    # materialize() pins them (the dataset handle is captured in the filter
-    # closure below, keeping the block refs alive for the pipeline's life)
+    # the block refs (driver-held in `live` below, captured by the filter
+    # closure) keep them alive for the pipeline's life
     dropped = (
         ds.select_columns([id_col, text_col])
         .map_batches(hash_rows, batch_format="pyarrow", zero_copy_batch=True)
@@ -188,7 +188,10 @@ def _exact_dedup_hash_ids(ds, text_col: str, id_col: str, num_buckets: int):
             _DROP_BLOCK_CACHE[key] = arr
         return arr
 
-    def remove(t: pa.Table, _pin=dropped) -> pa.Table:
+    # `live` (driver-held ObjectRef list, captured in this closure) keeps the
+    # dropped-id blocks alive via the driver's reference counting for the
+    # returned pipeline's lifetime — no need to pin the dataset handle
+    def remove(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         if len(ids) == 0:
             return t
