@@ -355,3 +355,24 @@ def test_sessionize_skew_within_2x_uniform(ray_session):
     t_uni = min(run(uni) for _ in range(2))
     t_skew = min(run(sk) for _ in range(2))
     assert t_skew <= 2 * t_uni + 1.0, (t_skew, t_uni)
+
+
+def test_sessionize_sharded_degenerate_inputs(ray_session):
+    """Empty input (degenerate empty-groupby block) and a single row must
+    both produce the contract schema (input + session_id)."""
+    from wrangler_ray.ops.window import sessionize_sharded
+
+    empty = rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+    }))
+    out = sessionize_sharded(empty)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"user_id", "ts", "session_id"}
+
+    one = rd.from_arrow(pa.table({
+        "user_id": pa.array([7], pa.int64()),
+        "ts": pa.array(np.array([123456], "datetime64[us]")),
+    }))
+    df = sessionize_sharded(one).to_pandas()
+    assert len(df) == 1 and df["session_id"].iloc[0] == 0

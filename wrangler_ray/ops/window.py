@@ -207,6 +207,16 @@ def sessionize_sharded(
         .map_groups(local_sessions, batch_format="pyarrow")
         .materialize()
     )
+    if local.count() == 0:
+        # an all-empty groupby emits a degenerate schema-less block; return
+        # an empty dataset with the CONTRACT schema (input + session_id)
+        import ray.data as rd
+
+        sch = ds.schema().base_schema
+        empty = pa.table({f.name: pa.array([], f.type) for f in sch})
+        return rd.from_arrow(
+            empty.append_column("session_id", pa.array([], pa.int64()))
+        )
     # summaries: ONE row per (key, bucket) — the only thing the driver holds
     import pandas as pd  # noqa: F811
 
