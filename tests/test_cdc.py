@@ -652,6 +652,13 @@ def test_cdc_objectstore_exchange_no_posix_scratch(tmp_path, stream, ray_session
     m1 = table.latest_manifest()
     table.apply_changes(stream["segments"])
     assert table.latest_manifest()["version"] == m1["version"]
+    # compaction (folds the MOR deltas) and vacuum also run with no POSIX
+    table.compact()
+    assert not table._has_deltas()
+    _eq(table.read_arrow(), oracle)
+    res = table.vacuum(keep_versions=1)
+    assert res["removed_manifests"] >= 1
+    _eq(table.read_arrow(), oracle)
 
 
 def test_cdc_objectstore_resume_after_merge_crash(tmp_path, stream, ray_session, monkeypatch):
