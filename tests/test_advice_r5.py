@@ -376,3 +376,62 @@ def test_sessionize_sharded_degenerate_inputs(ray_session):
     }))
     df = sessionize_sharded(one).to_pandas()
     assert len(df) == 1 and df["session_id"].iloc[0] == 0
+
+
+def test_sessionize_sharded_random_streams_match_plain(ray_session):
+    """Randomized A/B: across several seeds and shard widths, the sharded
+    sessionize must equal plain sessionize row-for-row."""
+    from wrangler_ray.ops.window import sessionize, sessionize_sharded
+
+    us_hour = 3_600_000_000
+    for seed in (1, 2, 3):
+        rng = np.random.RandomState(seed)
+        n = 1500
+        keys = rng.randint(0, 12, n)
+        # gaps spanning minutes to multiple days -> sessions regularly cross
+        # shard boundaries
+        steps = rng.choice(
+            [60_000_000, 45 * 60_000_000, 30 * us_hour], size=n,
+            p=[0.7, 0.2, 0.1],
+        )
+        ts = np.cumsum(steps) + rng.randint(0, us_hour, n)
+        t = pa.table({
+            "user_id": pa.array(keys, pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+        })
+        ds = rd.from_arrow(t).repartition(6)
+        plain = (
+            sessionize(ds).to_pandas()
+            .sort_values(["user_id", "ts"]).reset_index(drop=True)
+        )
+        for shard in ("1 day", "3 day"):
+            got = (
+                sessionize_sharded(ds, shard=shard).to_pandas()
+                .sort_values(["user_id", "ts"]).reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(plain, got[plain.columns])
+
+
+def test_cdc_objectstore_lww_random_stream(ray_session, tmp_path):
+    """Randomized replay parity through the object-store exchange: a seeded
+    random change stream applied via spill_mode='fs' must match the pandas
+    replay oracle exactly (LWW on lsn, deletes suppressed, stable order)."""
+    import pyarrow.fs as pafs
+    import ray.data as rd
+
+    from wrangler_ray.cdc.engine import CdcTable
+    from wrangler_ray.cdc.generate import generate_change_stream
+    from wrangler_ray.cdc.oracle import assert_tables_equal, replay_oracle
+
+    info = generate_change_stream(
+        str(tmp_path / "s"), n_convs=40, n_events=1500, n_segments=3, seed=23,
+        evolve_schema_at_segment=2,
+    )
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    table = CdcTable("lake", num_partitions=8, filesystem=fs)
+    assert table.spill_mode == "fs"
+    table.init_from_snapshot(rd.read_parquet(info["base"]))
+    for seg in info["segments"]:  # incremental tail through the fs exchange
+        table.apply_changes([seg])
+    oracle = replay_oracle(info["base"], info["segments"])
+    assert_tables_equal(table.read_arrow(), oracle)
