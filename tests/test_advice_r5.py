@@ -435,3 +435,32 @@ def test_cdc_objectstore_lww_random_stream(ray_session, tmp_path):
         table.apply_changes([seg])
     oracle = replay_oracle(info["base"], info["segments"])
     assert_tables_equal(table.read_arrow(), oracle)
+
+
+def test_cdc_objectstore_hot_partition_salted_merge(ray_session, tmp_path, monkeypatch):
+    """Hot-partition salting × fs-mode exchange: a skewed stream whose hot
+    partition splits into salted sub-merges must reach replay parity when
+    the spills live on the table's pyarrow.fs (ranged reads, several sub
+    tasks re-reading the same spill batches through the reader cache)."""
+    import pyarrow.fs as pafs
+    import ray.data as rd
+
+    from wrangler_ray.cdc.engine import CdcTable
+    from wrangler_ray.cdc.generate import generate_change_stream
+    from wrangler_ray.cdc.oracle import assert_tables_equal, replay_oracle
+
+    monkeypatch.setenv("WR_CDC_SPLIT_ROWS", "200")  # force salted sub-merges
+    info = generate_change_stream(
+        str(tmp_path / "s"), n_convs=6, n_events=3000, n_segments=2, seed=31,
+    )
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    table = CdcTable("lake", num_partitions=4, filesystem=fs)
+    assert table.spill_mode == "fs"
+    table.init_from_snapshot(rd.read_parquet(info["base"]))
+    m = table.apply_changes(info["segments"])
+    oracle = replay_oracle(info["base"], info["segments"])
+    assert_tables_equal(table.read_arrow(), oracle)
+    # the hot partitions really did split (several staged sub-files)
+    multi = [v for v in m["partitions"].values()
+             if isinstance(v, list) and len(v) > 1]
+    assert multi, "expected at least one salted multi-file partition"
