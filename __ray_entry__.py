@@ -1769,6 +1769,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_sharded_events": sessionize_sharded_events,
         "recipe_lineage_chain": recipe_lineage_chain,
         "workspace_summary_docs": workspace_summary_docs,
+        # -- oracles CONVERTED in round 5 (recall/self-retrieval invariants,
+        # exact-Jaccard graph, injected clones, SQL langid) — ordered here so
+        # a capped driver window certifies the new oracles this round
+        "similarity_ivf_topk": similarity_ivf_topk,
+        "similarity_lsh_topk": similarity_lsh_topk,
+        "text_analysis_docs": text_analysis_docs,
+        "dedup_minhash_docs": dedup_minhash_docs,
+        "dedup_ngram_docs": dedup_ngram_docs,
+        "dedup_embedding_vecs": dedup_embedding_vecs,
         # -- new in round 4
         "dedup_index_pruned_invariant": dedup_index_pruned_invariant,
         "source_avro_roundtrip": source_avro_roundtrip,
@@ -1791,7 +1800,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_lsh_exhaustive_invariant": similarity_lsh_exhaustive_invariant,
         "similarity_ivf_exhaustive_invariant": similarity_ivf_exhaustive_invariant,
         # -- last driver-certified in round 2
-        "similarity_ivf_topk": similarity_ivf_topk,
         "sample_reservoir_docs": sample_reservoir_docs,
         "error_channel_customer": error_channel_customer,
         "write_csv_nation": write_csv_nation,
@@ -1819,12 +1827,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_writers_nation": json_writers_nation,
         "split_words_docs": split_words_docs,
         "dedup_exact_docs": dedup_exact_docs,
-        "dedup_minhash_docs": dedup_minhash_docs,
         "dedup_simhash_docs": dedup_simhash_docs,
-        "dedup_embedding_vecs": dedup_embedding_vecs,
         "similarity_topk": similarity_topk,
-        "similarity_lsh_topk": similarity_lsh_topk,
-        "text_analysis_docs": text_analysis_docs,
         "multimodal_images": multimodal_images,
         "multimodal_audio": multimodal_audio,
         "multimodal_video": multimodal_video,
@@ -1852,7 +1856,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "settype_merge_nation": settype_merge_nation,
         "extract_regex_part": extract_regex_part,
         "profile_documents": profile_documents,
-        "dedup_ngram_docs": dedup_ngram_docs,
     }
 
 
